@@ -1,0 +1,61 @@
+"""Device mesh and sharding helpers.
+
+Replaces the reference's process-per-GPU DDP stack (``mp.spawn`` +
+``init_process_group`` NCCL ``file://`` rendezvous, MToV/exps/diffusion.py:56-71;
+HF Accelerate, AToM/AToM.py:42-45) with single-controller SPMD: one
+``jax.sharding.Mesh``, batch sharded along the ``data`` axis, gradients
+reduced by XLA-inserted collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: int | None = None, axis_names: tuple[str, ...] = (DATA_AXIS,)
+) -> Mesh:
+    """1-D (default) or n-D mesh over the first `n_devices` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(axis_names) == 1:
+        arr = np.asarray(devices)
+    else:
+        raise NotImplementedError(
+            "multi-axis meshes: reshape devices explicitly at the call site"
+        )
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def init_distributed():
+    """Multi-host initialisation (no-op on single host).
+
+    The TPU-native analogue of the reference's NCCL rendezvous; with JAX this
+    is a single call and all collectives are compiled into the program.
+    """
+    try:
+        if jax.process_count() > 1:
+            return  # already initialised
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # single-process run

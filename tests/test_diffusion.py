@@ -1,0 +1,131 @@
+"""Tests for the shared diffusion core (q/p transforms, DDIM scan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moditalker_tpu.core import diffusion, schedules
+
+
+def _sched():
+    return schedules.make_schedule("linear", 1000, 0.0015, 0.0195)
+
+
+def test_q_sample_roundtrip():
+    sched = _sched()
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (4, 3, 16))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([0, 100, 500, 999], dtype=jnp.int32)
+    x_t = diffusion.q_sample(sched, x0, t, noise)
+    x0_rec = diffusion.predict_start_from_noise(sched, x_t, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-3)
+
+
+def test_predict_noise_from_start_inverse():
+    sched = _sched()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([10, 750], dtype=jnp.int32)
+    x_t = diffusion.q_sample(sched, x0, t, noise)
+    n_rec = diffusion.predict_noise_from_start(sched, x_t, t, x0)
+    np.testing.assert_allclose(np.asarray(n_rec), np.asarray(noise), atol=1e-3)
+
+
+def test_q_posterior_at_t1_near_x0():
+    sched = _sched()
+    x0 = jnp.ones((1, 4))
+    x_t = jnp.ones((1, 4)) * 0.9
+    t = jnp.array([1], dtype=jnp.int32)
+    mean, var, log_var = diffusion.q_posterior(sched, x0, x_t, t)
+    assert mean.shape == x0.shape
+    assert float(var[0, 0]) > 0
+
+
+def test_ddim_sample_oracle_x0():
+    """A model that always predicts the true x0 must return exactly that x0
+    after the final (time_next < 0) step."""
+    sched = _sched()
+    target = jnp.tanh(jax.random.normal(jax.random.PRNGKey(2), (2, 4, 16)))
+
+    def model_fn(x, t):
+        return target
+
+    out = diffusion.ddim_sample(
+        sched,
+        model_fn,
+        target.shape,
+        jax.random.PRNGKey(0),
+        sampling_steps=10,
+        parameterization="x0",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-5)
+
+
+def test_ddim_jit_compiles_once():
+    sched = _sched()
+
+    def model_fn(x, t):
+        return x * 0.1
+
+    f = jax.jit(
+        lambda key: diffusion.ddim_sample(
+            sched, model_fn, (2, 4, 32), key, sampling_steps=25
+        )
+    )
+    out = f(jax.random.PRNGKey(0))
+    assert out.shape == (2, 4, 32)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_ddim_noised_start_shapes():
+    sched = _sched()
+
+    def model_fn(x, t):
+        return jnp.zeros_like(x)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 16))
+    out = diffusion.ddim_sample_noised_start(
+        sched, model_fn, x0, jax.random.PRNGKey(0), sampling_steps=100, ratio=0.25
+    )
+    assert out.shape == x0.shape
+    # tail slice = last 25% of the 100 pairs -> 25 model evals; cheap sanity
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_overlap_post_step_constraint():
+    """AToM long-sample constraint x[1:, :half] = x[:-1, half:] applied per
+    step (ref AToM/model/diffusion.py:299-300)."""
+    sched = schedules.make_schedule("cosine", 1000)
+    horizon, dim = 8, 6
+    half = horizon // 2
+
+    def constraint(x, t):
+        return x.at[1:, :half].set(x[:-1, half:])
+
+    def model_fn(x, t):
+        return jnp.zeros_like(x)  # x0-pred of zeros
+
+    out = diffusion.ddim_sample(
+        sched,
+        model_fn,
+        (3, horizon, dim),
+        jax.random.PRNGKey(0),
+        sampling_steps=10,
+        parameterization="x0",
+        post_step_fn=constraint,
+    )
+    assert out.shape == (3, horizon, dim)
+
+
+def test_p_sample_loop_runs():
+    sched = schedules.make_schedule("cosine", 50)
+
+    def model_fn(x, t):
+        return jnp.zeros_like(x)
+
+    out = diffusion.p_sample_loop(
+        sched, model_fn, (2, 4, 8), jax.random.PRNGKey(0), parameterization="x0"
+    )
+    assert out.shape == (2, 4, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
