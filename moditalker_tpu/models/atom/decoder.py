@@ -270,15 +270,17 @@ class MotionDecoder(nn.Module):
         face_hidden = non_attn_proj(
             "non_attn_face_projection", face_tokens.mean(axis=-2))
 
-        lip_t = t_cond + face_hidden
-        nonlip_t = t_cond + face_hidden
-
-        # ---- null hidden + memory assembly (model.py:458-466)
+        # ---- null hidden + stream conditioning (model.py:441-460)
+        # NOTE: the reference aliases lip_t and nonlip_t to the SAME tensor
+        # and updates it with in-place `+=` three times, so both streams
+        # effectively receive t + 2*face_hidden + cond_hidden. We reproduce
+        # that exact (buggy-looking but trained-in) semantics.
         null_cond_hidden = self.param(
             "null_cond_hidden", nn.initializers.normal(1.0), (1, d))
         cond_hidden = jnp.where(
             keep_hidden, cond_hidden, null_cond_hidden.astype(cond_hidden.dtype))
-        lip_t = lip_t + cond_hidden
+        stream_t = t_cond + 2.0 * face_hidden + cond_hidden
+        lip_t = nonlip_t = stream_t
 
         norm_cond = nn.LayerNorm(name="norm_cond", **dd)
         memory = norm_cond(

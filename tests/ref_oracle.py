@@ -40,8 +40,16 @@ def _stub_missing(names: list[str]):
                 mod_name = ".".join(parts[:i])
                 if mod_name not in sys.modules:
                     mod = types.ModuleType(mod_name)
-                    # permissive attribute access for "from x import y"
-                    mod.__getattr__ = lambda attr, _m=mod_name: types.SimpleNamespace()
+                    mod.__path__ = []  # mark as package for submodule imports
+
+                    def _getattr(attr, _m=mod_name):
+                        # permissive access for "from x import y"; keep import
+                        # machinery dunders out of it
+                        if attr.startswith("__") and attr.endswith("__"):
+                            raise AttributeError(attr)
+                        return types.SimpleNamespace()
+
+                    mod.__getattr__ = _getattr
                     sys.modules[mod_name] = mod
 
 

@@ -1,0 +1,120 @@
+"""AToM MotionDecoder: shape smoke tests + numerical parity vs the torch
+reference with ported weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moditalker_tpu.config import AtomModelConfig
+from moditalker_tpu.models.atom import AtomDiffusion, MotionDecoder
+from moditalker_tpu.utils.torch_port import convert_atom_decoder
+
+from . import ref_oracle
+
+needs_ref = pytest.mark.skipif(
+    not ref_oracle.has_reference(), reason="reference checkout not available"
+)
+
+SMALL = AtomModelConfig(horizon=16, latent_dim=64, ff_size=128,
+                        num_layers=2, num_heads=4, dropout=0.0)
+
+
+def _dummy_inputs(cfg, b=2):
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 3)
+    x = jax.random.normal(ks[0], (b, cfg.horizon, cfg.repr_dim))
+    face = jax.random.normal(ks[1], (b, cfg.horizon, cfg.repr_dim))
+    cond = jax.random.normal(ks[2], (b, cfg.horizon * 2, cfg.cond_feature_dim))
+    t = jnp.array([3, 500][:b], dtype=jnp.int32)
+    return x, face, cond, t
+
+
+def test_decoder_shapes():
+    cfg = SMALL
+    model = MotionDecoder(cfg)
+    x, face, cond, t = _dummy_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    out = model.apply(params, x, face, cond, t)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_decoder_null_conditioning_differs():
+    cfg = SMALL
+    model = MotionDecoder(cfg)
+    x, face, cond, t = _dummy_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    out_c = model.apply(params, x, face, cond, t,
+                        keep_mask=jnp.ones((2,), bool))
+    out_u = model.apply(params, x, face, cond, t,
+                        keep_mask=jnp.zeros((2,), bool))
+    assert float(jnp.abs(out_c - out_u).max()) > 1e-6
+
+
+def test_atom_diffusion_loss_and_sample():
+    diff = AtomDiffusion.create(model_cfg=SMALL)
+    x, face, cond, t = _dummy_inputs(SMALL)
+    params = diff.model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    total, (recon, vel) = diff.p_losses(
+        params, jax.random.PRNGKey(1), x, face, cond, deterministic=True)
+    assert np.isfinite(float(total))
+
+    # tiny DDIM sample (guidance doubled batch) — just needs to run + be finite
+    object.__setattr__(diff.cfg, "__class__", type(diff.cfg))  # no-op guard
+    import dataclasses
+    fast = dataclasses.replace(diff.cfg, sampling_steps=4)
+    diff_fast = dataclasses.replace(diff, cfg=fast)
+    out = diff_fast.ddim_sample(
+        params, jax.random.PRNGKey(2), x.shape, face, cond)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@needs_ref
+def test_decoder_matches_torch_reference():
+    """Port reference weights into the flax model; outputs must agree."""
+    torch = pytest.importorskip("torch")
+    ref_model_mod = ref_oracle.import_atom_module("model.model")
+    torch.manual_seed(0)
+
+    cfg = AtomModelConfig()  # full-size: horizon 156, d 512, 8 layers
+    tmodel = ref_model_mod.MotionDecoder(
+        nfeats=cfg.repr_dim, seq_len=cfg.horizon, latent_dim=cfg.latent_dim,
+        ff_size=cfg.ff_size, num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads, dropout=0.0,
+        cond_feature_dim=cfg.cond_feature_dim,
+        activation=torch.nn.functional.gelu,
+    ).eval()
+
+    params = convert_atom_decoder(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        num_layers=cfg.num_layers, d=cfg.latent_dim)
+
+    b = 2
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, cfg.horizon, cfg.repr_dim)).astype(np.float32)
+    face = rng.normal(size=(b, cfg.horizon, cfg.repr_dim)).astype(np.float32)
+    cond = rng.normal(size=(b, cfg.horizon * 2, 1024)).astype(np.float32)
+    t = np.array([17, 941], dtype=np.int64)
+
+    with torch.no_grad():
+        expected = tmodel(
+            None, torch.tensor(x), torch.tensor(face), torch.tensor(cond),
+            torch.tensor(t), cond_drop_prob=0.0).numpy()
+
+    model = MotionDecoder(cfg)
+    got = model.apply(params, jnp.asarray(x), jnp.asarray(face),
+                      jnp.asarray(cond), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-4, atol=2e-4)
+
+    # unconditioned (CFG null) path must match too
+    with torch.no_grad():
+        expected_u = tmodel(
+            None, torch.tensor(x), torch.tensor(face), torch.tensor(cond),
+            torch.tensor(t), cond_drop_prob=1.0).numpy()
+    got_u = model.apply(params, jnp.asarray(x), jnp.asarray(face),
+                        jnp.asarray(cond), jnp.asarray(t),
+                        keep_mask=jnp.zeros((b,), bool))
+    np.testing.assert_allclose(np.asarray(got_u), expected_u,
+                               rtol=2e-4, atol=2e-4)

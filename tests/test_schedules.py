@@ -76,8 +76,12 @@ def test_full_table_set_matches_mtov_ddpm():
     ]
     for name, mine in pairs:
         expected = getattr(ref, name).numpy()
+        # lvlb_weights: reference chains float32 tensor ops; ours is float64
+        # then cast — a few 5e-6 rel diffs (and it is unused on active paths:
+        # original_elbo_weight = 0)
+        rtol = 1e-5 if name == "lvlb_weights" else 1e-6
         np.testing.assert_allclose(
-            np.asarray(mine), expected, rtol=1e-6, atol=1e-7, err_msg=name
+            np.asarray(mine), expected, rtol=rtol, atol=1e-7, err_msg=name
         )
 
 
