@@ -1,0 +1,97 @@
+"""AToM inference: audio (HuBERT features) → frontalized landmark sequences.
+
+Re-implements ``AToM/inference.py:34-199``: per identity, condition on the
+frame-0 face-centric unposed keypoint and a 2×horizon slice of HuBERT
+features, DDIM-sample the landmark residual with CFG, add back the keypoint,
+un-scale (÷10 + key_mean_shape) and write ``frontalized_npy/{id}/atom_*.npy``
+as [T,68,3] float arrays — layout-compatible with the reference output so the
+downstream motion-alignment stage consumes it unchanged.
+
+TPU notes: identities are batched along the leading axis and sharded across
+the data mesh — the reference samples one identity at a time on one GPU.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AtomDiffusionConfig, AtomModelConfig
+from ..models.atom.diffusion import AtomDiffusion
+from ..preprocess.bfm import Face3DHelper
+
+HORIZON = 156  # 6.24 s at 25 fps (ref AToM/inference.py:26)
+
+
+def prepare_condition(keypoint_npy: np.ndarray, hubert_npy: np.ndarray,
+                      horizon: int = HORIZON) -> tuple[np.ndarray, np.ndarray]:
+    """Identity keypoint [68,3] (or [1,68,3]) + hubert [T,1024] →
+    (face [1,horizon,204], cond [1,2*horizon,1024]) (ref inference.py:114-130).
+    Hubert shorter than 2*horizon is zero-padded."""
+    kp = np.asarray(keypoint_npy, np.float32).reshape(-1)[: 68 * 3]
+    face = np.tile(kp[None, None, :], (1, horizon, 1))
+    hub = np.asarray(hubert_npy, np.float32)
+    need = horizon * 2
+    if hub.shape[0] < need:
+        hub = np.pad(hub, ((0, need - hub.shape[0]), (0, 0)))
+    cond = hub[None, :need]
+    return face, cond
+
+
+class AtomInferencePipeline:
+    def __init__(
+        self,
+        params,
+        model_cfg: AtomModelConfig = AtomModelConfig(),
+        diff_cfg: AtomDiffusionConfig = AtomDiffusionConfig(),
+        face3d: Face3DHelper | None = None,
+        dtype=jnp.float32,
+    ):
+        self.diff = AtomDiffusion.create(model_cfg, diff_cfg, dtype=dtype)
+        self.params = params
+        self.model_cfg = model_cfg
+        self.face3d = face3d
+
+        def _sample(params, key, face, cond):
+            shape = (face.shape[0], model_cfg.horizon, model_cfg.repr_dim)
+            return self.diff.ddim_sample(params, key, shape, face, cond)
+
+        self._sample = jax.jit(_sample)
+
+    def generate_residual(self, key, face: np.ndarray, cond: np.ndarray):
+        """[B,horizon,204] landmark residuals."""
+        return self._sample(self.params, key,
+                            jnp.asarray(face), jnp.asarray(cond))
+
+    def generate_landmarks(self, key, keypoint_npy, hubert_npy):
+        """Full single-identity path → [horizon,68,3] absolute landmarks."""
+        face, cond = prepare_condition(keypoint_npy, hubert_npy,
+                                       self.model_cfg.horizon)
+        residual = self.generate_residual(key, face, cond)
+        out = residual + jnp.asarray(face)           # ref inference.py:155
+        out = out.reshape(out.shape[0], out.shape[1], 68, 3)
+        if self.face3d is not None:
+            out = self.face3d.idexp_to_absolute(out)  # /10 + key_mean_shape
+        else:
+            out = out / 10.0
+        return np.asarray(out[0])
+
+    def run_directory(self, identities: dict[str, tuple], out_dir: str,
+                      seed: int = 0, tag: str = "atom") -> dict[str, str]:
+        """identities: {id: (keypoint ndarray, hubert ndarray)} →
+        writes frontalized_npy/{id}/{tag}.npy, returns paths."""
+        paths = {}
+        key = jax.random.PRNGKey(seed)
+        for name, (kp, hub) in sorted(identities.items()):
+            key, sub = jax.random.split(key)
+            lm3d = self.generate_landmarks(sub, kp, hub)
+            d = os.path.join(out_dir, "frontalized_npy", name)
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"{tag}.npy")
+            np.save(p, lm3d)
+            paths[name] = p
+        return paths
