@@ -130,9 +130,12 @@ def make_schedule(
     )
 
     if parameterization == "eps":
-        lvlb_weights = betas**2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod)
-        )
+        with np.errstate(divide="ignore"):
+            # posterior_variance[0] == 0 → inf at t=0, overwritten below
+            # (same as the reference, ddpm.py:256-262)
+            lvlb_weights = betas**2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod)
+            )
     elif parameterization == "x0":
         # reference formula kept verbatim incl. its (2.0 * 1 - a) quirk
         # (ddpm.py:258) — unused on active paths (original_elbo_weight = 0)

@@ -1,0 +1,198 @@
+"""ViT triplane video autoencoder.
+
+Re-implements ``MToV/models/autoencoder/autoencoder_vit.py:89-276`` TPU-first:
+data is NTHWC (channels-last convs), the three plane-pooling attentions
+operate on axis-transposed views, and the latent layout is kept BYTE-COMPATIBLE
+with the reference's ``extract``/``decode_from_sample`` packing —
+``[B, 4, r*r + s*r + s*r]`` = xy(h-major) ‖ yt(t-major over w) ‖ xt(t-major
+over h) — so diffusion checkpoints and sampling pipelines interoperate.
+
+Reference quirks reproduced on purpose (trained-in semantics):
+  * each plane pool appends its learnable token at the END of the sequence but
+    reads the output at position 0 (autoencoder_vit.py:160-162);
+  * positional embeddings are added to the token-augmented sequence.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import MtovAEConfig
+from ...ops.attention import sdpa
+from .timesformer import TimeSformerDecoder, TimeSformerEncoder
+
+
+class QuantAttention(nn.Module):
+    """depth×(PreNorm attn + PreNorm FF) pooling transformer
+    (ref autoencoder_vit.py:35-83): heads=4, dim_head=dim//8, mlp 512."""
+
+    dim: int
+    depth: int = 4
+    heads: int = 4
+    dim_head: int = 48
+    mlp_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.heads * self.dim_head
+        for i in range(self.depth):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")(x)
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                           name=f"to_qkv_{i}")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            b, n, _ = q.shape
+
+            def split(t):
+                return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                    0, 2, 1, 3)
+
+            out = sdpa(split(q), split(k), split(v),
+                       scale=self.dim_head**-0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+            x = x + nn.Dense(self.dim, dtype=self.dtype, name=f"to_out_{i}")(out)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{i}")(x)
+            h = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff1_{i}")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            x = x + nn.Dense(self.dim, dtype=self.dtype, name=f"ff2_{i}")(h)
+        return x
+
+
+class ViTAutoencoder(nn.Module):
+    """Triplane video AE. All video tensors are [B, T, H, W, 3] in [-1, 1]."""
+
+    cfg: MtovAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        dim = c.channels
+        self.encoder = TimeSformerEncoder(
+            dim=dim, patch_size=c.patch_size, depth=c.depth, heads=c.heads,
+            dim_head=c.dim_head, dtype=self.dtype)
+        self.decoder = TimeSformerDecoder(
+            dim=dim, depth=c.depth, heads=c.heads, dim_head=c.dim_head,
+            dtype=self.dtype)
+        self.to_pixel = nn.ConvTranspose(
+            features=3, kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), dtype=self.dtype,
+            transpose_kernel=True, name="to_pixel")
+
+        init = nn.initializers.normal(1.0)
+        s, r = c.timesteps // c.splits, c.latent_res
+        self.xy_token = self.param("xy_token", init, (1, 1, dim))
+        self.yt_token = self.param("yt_token", init, (1, 1, dim))
+        self.xt_token = self.param("xt_token", init, (1, 1, dim))
+        self.xy_pos_embedding = self.param("xy_pos_embedding", init,
+                                           (1, s + 1, dim))
+        self.yt_pos_embedding = self.param("yt_pos_embedding", init,
+                                           (1, r + 1, dim))
+        self.xt_pos_embedding = self.param("xt_pos_embedding", init,
+                                           (1, r + 1, dim))
+        qa = dict(dim=dim, depth=c.quant_depth, heads=c.quant_heads,
+                  dim_head=dim // 8, mlp_dim=c.quant_mlp_dim, dtype=self.dtype)
+        self.xy_quant_attn = QuantAttention(**qa)
+        self.yt_quant_attn = QuantAttention(**qa)
+        self.xt_quant_attn = QuantAttention(**qa)
+        # 1×1 plane convs == Dense over the channel axis
+        self.pre_xy = nn.Dense(c.embed_dim, dtype=self.dtype)
+        self.pre_yt = nn.Dense(c.embed_dim, dtype=self.dtype)
+        self.pre_xt = nn.Dense(c.embed_dim, dtype=self.dtype)
+        self.post_xy = nn.Dense(dim, dtype=self.dtype)
+        self.post_yt = nn.Dense(dim, dtype=self.dtype)
+        self.post_xt = nn.Dense(dim, dtype=self.dtype)
+
+    # ------------------------------------------------------------ planes
+    def _pool_planes(self, x):
+        """Encoder trunk + 3 plane poolings → tanh'd plane latents:
+        xy [B,r,r,e], yt [B,s,r,e], xt [B,s,r,e]
+        (ref autoencoder_vit.py:150-187)."""
+        c = self.cfg
+        b = x.shape[0]
+        s, r = c.timesteps // c.splits, c.latent_res
+        h = self.encoder(x)                      # [B, s, r*r, C]
+        h = h.reshape(b, s, r, r, c.channels)    # [B, t, h, w, C]
+
+        def pool(tokens, token, pos_emb, attn):
+            # tokens [M, L, C]; append token at END, read position 0
+            m, l, _ = tokens.shape
+            tok = jnp.broadcast_to(token.astype(tokens.dtype),
+                                   (m, 1, c.channels))
+            t = jnp.concatenate([tokens, tok], axis=1)
+            t = t + pos_emb[:, : l + 1].astype(tokens.dtype)
+            return attn(t)[:, 0]
+
+        # xy: pool over t at each (h, w)
+        t_xy = h.transpose(0, 2, 3, 1, 4).reshape(b * r * r, s, c.channels)
+        h_xy = pool(t_xy, self.xy_token, self.xy_pos_embedding,
+                    self.xy_quant_attn).reshape(b, r, r, c.channels)
+        # yt: pool over h at each (t, w)  ['(b t w) h c' in the reference]
+        t_yt = h.transpose(0, 1, 3, 2, 4).reshape(b * s * r, r, c.channels)
+        h_yt = pool(t_yt, self.yt_token, self.yt_pos_embedding,
+                    self.yt_quant_attn).reshape(b, s, r, c.channels)
+        # xt: pool over w at each (t, h)
+        t_xt = h.reshape(b * s * r, r, c.channels)
+        h_xt = pool(t_xt, self.xt_token, self.xt_pos_embedding,
+                    self.xt_quant_attn).reshape(b, s, r, c.channels)
+
+        h_xy = jnp.tanh(self.pre_xy(h_xy))
+        h_yt = jnp.tanh(self.pre_yt(h_yt))
+        h_xt = jnp.tanh(self.pre_xt(h_xt))
+        return h_xy, h_yt, h_xt
+
+    def _broadcast_sum(self, h_xy, h_yt, h_xt):
+        """post 1×1s + broadcast-sum to the volume [B,s,r,r,C]
+        (ref autoencoder_vit.py:189-199)."""
+        c = self.cfg
+        s, r = c.timesteps // c.splits, c.latent_res
+        z_xy = self.post_xy(h_xy)[:, None]                 # [B,1,r,r,C]
+        z_yt = self.post_yt(h_yt)[:, :, None]              # [B,s,1,r,C]
+        z_xt = self.post_xt(h_xt)[:, :, :, None]           # [B,s,r,1,C]
+        return (jnp.broadcast_to(z_xy, (h_xy.shape[0], s, r, r, c.channels))
+                + jnp.broadcast_to(z_yt, (h_yt.shape[0], s, r, r, c.channels))
+                + jnp.broadcast_to(z_xt, (h_xt.shape[0], s, r, r, c.channels)))
+
+    # ------------------------------------------------------------ API
+    def encode(self, x):
+        """video → decoder-ready volume (ref :150-199)."""
+        return self._broadcast_sum(*self._pool_planes(x))
+
+    def decode(self, z):
+        """volume [B,s,r,r,C] → video [B,T,H,W,3] in [-1,1] (ref :201-204)."""
+        c = self.cfg
+        b, s = z.shape[0], z.shape[1]
+        dec = self.decoder(z)                    # [B, s, r*r, C]
+        dec = dec.reshape(b * s, c.latent_res, c.latent_res, c.channels)
+        px = self.to_pixel(dec)                  # [(B s), H, W, 3]
+        px = px.reshape(b, s, c.resolution, c.resolution, 3)
+        return 2.0 * jax.nn.sigmoid(px) - 1.0
+
+    def __call__(self, x):
+        return self.decode(self.encode(x)), 0.0
+
+    def extract(self, x):
+        """video → diffusion latent [B, e, r*r + 2*s*r], reference layout
+        (ref :212-255)."""
+        c = self.cfg
+        b = x.shape[0]
+        h_xy, h_yt, h_xt = self._pool_planes(x)
+        e = c.embed_dim
+        f_xy = h_xy.transpose(0, 3, 1, 2).reshape(b, e, -1)  # h-major
+        f_yt = h_yt.transpose(0, 3, 1, 2).reshape(b, e, -1)  # t-major over w
+        f_xt = h_xt.transpose(0, 3, 1, 2).reshape(b, e, -1)
+        return jnp.concatenate([f_xy, f_yt, f_xt], axis=-1)
+
+    def decode_from_sample(self, latent):
+        """diffusion latent [B, e, L] → video (ref :257-275)."""
+        c = self.cfg
+        b = latent.shape[0]
+        s, r, e = c.timesteps // c.splits, c.latent_res, c.embed_dim
+        h_xy = latent[:, :, : r * r].reshape(b, e, r, r).transpose(0, 2, 3, 1)
+        h_yt = latent[:, :, r * r : r * (r + s)].reshape(
+            b, e, s, r).transpose(0, 2, 3, 1)
+        h_xt = latent[:, :, r * (r + s) : r * (r + 2 * s)].reshape(
+            b, e, s, r).transpose(0, 2, 3, 1)
+        z = self._broadcast_sum(h_xy, h_yt, h_xt)
+        return self.decode(z)

@@ -1,0 +1,352 @@
+"""Triplane latent-diffusion UNet.
+
+Re-implements ``MToV/models/ddpm/unet.py:601-1117`` TPU-first:
+
+* every UNet stage runs ONE shared-weight 2D block per plane; the reference
+  issues three sequential same-weight calls (xy, yt, xt — unet.py:1031-1034).
+  Here yt and xt (identical [s, r] shapes) are STACKED on the batch axis so
+  each stage is two conv calls (one [B, r, r], one [2B, s, r]) — bigger
+  batches onto the MXU, fewer dispatches;
+* after each stage, the three planes' tokens are re-concatenated and a joint
+  1D self-attention runs over all r² + 2·s·r tokens (unet.py:1039-1049);
+* channels-last layout (NHWC) for all convs; GroupNorm computed in fp32
+  (reference GroupNorm32, diffusionmodules.py:171); softmax fp32;
+* the zeros-padding of ``image_cond`` beyond the xy plane (unet.py:1022-1024,
+  which hardcodes a "cuda" literal) becomes a plain jnp.zeros concat;
+* the dead ``output_bg_blocks``/``output_bg_attns`` branch (unet.py:859-861,
+  built but never called in forward) is not reproduced.
+
+Latent layout matches the reference byte-for-byte:
+[B, C, r*r + s*r + s*r] with planes xy | yt | xt.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import MtovUNetConfig
+from ...ops.attention import sdpa
+
+
+def timestep_embedding(t, dim: int, max_period: float = 10000.0):
+    """cos-then-sin sinusoid (ref diffusionmodules.py:108-128)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def group_norm_32(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over the channel (last) axis, computed in fp32 regardless of
+    the activation dtype (ref GroupNorm32)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    c = x32.shape[-1]
+    g = num_groups
+    grouped = x32.reshape(*x32.shape[:-1], g, c // g)
+    red_axes = tuple(range(1, x32.ndim - 1)) + (x32.ndim,)
+    mean = grouped.mean(axis=red_axes, keepdims=True)
+    var = grouped.var(axis=red_axes, keepdims=True)
+    normed = ((grouped - mean) * jax.lax.rsqrt(var + eps)).reshape(x32.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class GroupNorm32(nn.Module):
+    channels: int
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return group_norm_32(x, scale, bias, self.num_groups)
+
+
+def _avg_pool2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def _nearest_up2(x):
+    b, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class ResBlock(nn.Module):
+    """Scale-shift GroupNorm residual block, optionally resampling
+    (ref unet.py:93-207)."""
+
+    channels: int
+    out_channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        h = GroupNorm32(self.channels, name="in_norm")(x)
+        h = jax.nn.silu(h)
+        if self.down:
+            h = _avg_pool2(h)
+            x = _avg_pool2(x)
+        elif self.up:
+            h = _nearest_up2(h)
+            x = _nearest_up2(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels,
+            dtype=self.dtype, name="emb_proj")(jax.nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(self.out_channels, name="out_norm")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(self.out_channels, name="out_norm")(h)
+        h = jax.nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        if self.out_channels == self.channels:
+            skip = x
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="skip")(x)
+        return skip + h
+
+
+class SelfAttentionBlock(nn.Module):
+    """Token self-attention with zero-init output projection — used both for
+    per-plane spatial attention (ref AttentionBlock, unet.py:210-254) and the
+    joint triplane 1D attention (AttentionBlock1D, :257-300). Input [B, L, C].
+    """
+
+    channels: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, c = x.shape
+        h = GroupNorm32(self.channels, name="norm")(x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        dh = c // self.num_heads
+
+        def split(t):
+            return t.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        out = sdpa(split(q), split(k), split(v), scale=dh**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        out = nn.Dense(c, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros, name="proj_out")(out)
+        return x + out
+
+
+class TriplaneUNet(nn.Module):
+    cfg: MtovUNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        mc = cfg.model_channels
+        emb_ch = mc * 4
+        self.time_embed_1 = nn.Dense(emb_ch, dtype=self.dtype)
+        self.time_embed_2 = nn.Dense(emb_ch, dtype=self.dtype)
+        self.input_conv = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype)
+
+        dd = dict(emb_channels=emb_ch, dropout=cfg.dropout,
+                  use_scale_shift_norm=cfg.use_scale_shift_norm,
+                  dtype=self.dtype)
+
+        in_blocks = []   # list of (kind, ...) specs; modules in parallel lists
+        in_res: list = []
+        in_attn2d: list = []
+        in_joint: list = [None]  # initial conv has no joint attention module
+        chans = [mc]
+        ch = mc
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            for _ in range(cfg.num_res_blocks):
+                in_res.append(ResBlock(channels=ch, out_channels=mult * mc, **dd))
+                ch = mult * mc
+                in_attn2d.append(
+                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+                    if ds in cfg.attention_resolutions else None)
+                in_joint.append(
+                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+                chans.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                in_res.append(ResBlock(channels=ch, out_channels=ch, down=True,
+                                       **dd))
+                in_attn2d.append(None)
+                in_joint.append(
+                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+                chans.append(ch)
+                ds *= 2
+        self.in_res = in_res
+        self.in_attn2d = in_attn2d
+        self.in_joint = in_joint
+        self._input_chans = chans
+        self._mid_ds = ds
+
+        self.mid_res1 = ResBlock(channels=ch, out_channels=ch, **dd)
+        self.mid_attn2d = SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+        self.mid_res2 = ResBlock(channels=ch, out_channels=ch, **dd)
+        self.mid_joint = SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+
+        out_res: list = []
+        out_attn2d: list = []
+        out_up: list = []
+        out_joint: list = []
+        chans_pop = list(chans)
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                ich = chans_pop.pop()
+                out_res.append(
+                    ResBlock(channels=ch + ich, out_channels=mult * mc, **dd))
+                ch = mult * mc
+                out_attn2d.append(
+                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+                    if ds in cfg.attention_resolutions else None)
+                if level and i == cfg.num_res_blocks:
+                    out_up.append(ResBlock(channels=ch, out_channels=ch,
+                                           up=True, **dd))
+                    ds //= 2
+                else:
+                    out_up.append(None)
+                out_joint.append(
+                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+        self.out_res = out_res
+        self.out_attn2d = out_attn2d
+        self.out_up = out_up
+        self.out_joint = out_joint
+
+        self.out_norm = GroupNorm32(ch)
+        self.out_conv = nn.Conv(cfg.out_channels, (3, 3), padding=1,
+                                dtype=self.dtype,
+                                kernel_init=nn.initializers.zeros)
+
+    # ---------------------------------------------------------------- helpers
+    def _flatten(self, p):
+        b, h, w, c = p.shape
+        return p.reshape(b, h * w, c)
+
+    def _joint(self, attn, h_xy, h_ytxt):
+        """Concat plane tokens (xy | yt | xt), run joint attention, split back
+        (ref unet.py:1039-1049)."""
+        b = h_xy.shape[0]
+        r_h, r_w = h_xy.shape[1], h_xy.shape[2]
+        t_h, t_w = h_ytxt.shape[1], h_ytxt.shape[2]
+        xy_tok = self._flatten(h_xy)
+        yt_tok = self._flatten(h_ytxt[:b])
+        xt_tok = self._flatten(h_ytxt[b:])
+        tokens = jnp.concatenate([xy_tok, yt_tok, xt_tok], axis=1)
+        tokens = attn(tokens)
+        n_xy = r_h * r_w
+        n_p = t_h * t_w
+        h_xy = tokens[:, :n_xy].reshape(b, r_h, r_w, -1)
+        h_yt = tokens[:, n_xy : n_xy + n_p].reshape(b, t_h, t_w, -1)
+        h_xt = tokens[:, n_xy + n_p :].reshape(b, t_h, t_w, -1)
+        return h_xy, jnp.concatenate([h_yt, h_xt], axis=0)
+
+    def _attn2d(self, attn, p):
+        b, h, w, c = p.shape
+        return attn(p.reshape(b, h * w, c)).reshape(b, h, w, c)
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x, cond, image_cond, t, deterministic: bool = True):
+        """x [B,Cin,L], cond [B,Cc,L], image_cond [B,Cin,L] → [B,Cout,L]
+        with L = r² + 2·s·r (ref unet.py:995-1117)."""
+        cfg = self.cfg
+        b = x.shape[0]
+        r, s = cfg.latent_res, cfg.latent_t
+        n_xy = r * r
+
+        emb = timestep_embedding(t, cfg.model_channels)
+        emb = self.time_embed_2(jax.nn.silu(self.time_embed_1(emb)))
+        emb2 = jnp.concatenate([emb, emb], axis=0)  # for the stacked yt|xt
+
+        # image_cond: keep only the xy plane, zero the rest (unet.py:1022-1024)
+        ic = jnp.concatenate(
+            [image_cond[:, :, :n_xy],
+             jnp.zeros((b, image_cond.shape[1], 2 * s * r), x.dtype)], axis=-1)
+        h = jnp.concatenate([x, cond, ic], axis=1)  # [B, 16, L]
+
+        def to_plane(tok, t_h, t_w):
+            return tok.reshape(b, -1, t_h, t_w).transpose(0, 2, 3, 1)
+
+        h_xy = to_plane(h[:, :, :n_xy], r, r)
+        h_yt = to_plane(h[:, :, n_xy : n_xy + s * r], s, r)
+        h_xt = to_plane(h[:, :, n_xy + s * r :], s, r)
+        h_ytxt = jnp.concatenate([h_yt, h_xt], axis=0)  # [2B, s, r, C]
+
+        det = deterministic
+        skips: list = []
+
+        # input conv stage (joint attention skipped — reference Identity)
+        h_xy = self.input_conv(h_xy)
+        h_ytxt = self.input_conv(h_ytxt)
+        skips.append((h_xy, h_ytxt))
+
+        i_joint = 1
+        for res, attn2d in zip(self.in_res, self.in_attn2d):
+            h_xy = res(h_xy, emb, det)
+            h_ytxt = res(h_ytxt, emb2, det)
+            if attn2d is not None:
+                h_xy = self._attn2d(attn2d, h_xy)
+                h_ytxt = self._attn2d(attn2d, h_ytxt)
+            h_xy, h_ytxt = self._joint(self.in_joint[i_joint], h_xy, h_ytxt)
+            i_joint += 1
+            skips.append((h_xy, h_ytxt))
+
+        # middle
+        h_xy = self.mid_res1(h_xy, emb, det)
+        h_ytxt = self.mid_res1(h_ytxt, emb2, det)
+        h_xy = self._attn2d(self.mid_attn2d, h_xy)
+        h_ytxt = self._attn2d(self.mid_attn2d, h_ytxt)
+        h_xy = self.mid_res2(h_xy, emb, det)
+        h_ytxt = self.mid_res2(h_ytxt, emb2, det)
+        h_xy, h_ytxt = self._joint(self.mid_joint, h_xy, h_ytxt)
+
+        # up path
+        for res, attn2d, up, joint in zip(
+                self.out_res, self.out_attn2d, self.out_up, self.out_joint):
+            skip_xy, skip_ytxt = skips.pop()
+            h_xy = res(jnp.concatenate([h_xy, skip_xy], axis=-1), emb, det)
+            h_ytxt = res(jnp.concatenate([h_ytxt, skip_ytxt], axis=-1),
+                         emb2, det)
+            if attn2d is not None:
+                h_xy = self._attn2d(attn2d, h_xy)
+                h_ytxt = self._attn2d(attn2d, h_ytxt)
+            if up is not None:
+                h_xy = up(h_xy, emb, det)
+                h_ytxt = up(h_ytxt, emb2, det)
+            h_xy, h_ytxt = self._joint(joint, h_xy, h_ytxt)
+
+        # output head per plane, then repack to the reference latent layout
+        def head(p):
+            p = jax.nn.silu(self.out_norm(p))
+            return self.out_conv(p)
+
+        o_xy = head(h_xy)
+        o_ytxt = head(h_ytxt)
+        f_xy = o_xy.transpose(0, 3, 1, 2).reshape(b, cfg.out_channels, -1)
+        o_yt, o_xt = o_ytxt[:b], o_ytxt[b:]
+        f_yt = o_yt.transpose(0, 3, 1, 2).reshape(b, cfg.out_channels, -1)
+        f_xt = o_xt.transpose(0, 3, 1, 2).reshape(b, cfg.out_channels, -1)
+        return jnp.concatenate([f_xy, f_yt, f_xt], axis=-1).astype(x.dtype)

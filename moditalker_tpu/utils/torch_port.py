@@ -89,6 +89,29 @@ def _decoder_layer(sd: dict, prefix: str, d: int) -> dict:
     }
 
 
+def _conv1x1_as_dense(sd: dict, name: str) -> dict:
+    """Conv2d/Conv1d with 1×1 kernel → Dense."""
+    w = np.asarray(sd[f"{name}.weight"])  # [O, I, 1(,1)]
+    w = w.reshape(w.shape[0], w.shape[1])
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _qkv_headmajor_to_qkvmajor(sd: dict, name: str, num_heads: int) -> dict:
+    """UNet attention qkv conv1d: the reference's QKVAttentionLegacy
+    interprets the 3C output channels as H blocks of (q|k|v)·dh
+    (unet.py:318-326); our Dense emits q(all heads) | k | v. Permute rows."""
+    w = np.asarray(sd[f"{name}.weight"])[:, :, 0]  # [3C, C]
+    b = np.asarray(sd[f"{name}.bias"])
+    three_c, c = w.shape
+    dh = three_c // (3 * num_heads)
+    w = w.reshape(num_heads, 3, dh, c).transpose(1, 0, 2, 3).reshape(three_c, c)
+    b = b.reshape(num_heads, 3, dh).transpose(1, 0, 2).reshape(three_c)
+    return {"kernel": np.ascontiguousarray(w.T), "bias": b}
+
+
 def convert_atom_decoder(sd: dict, num_layers: int = 8, d: int = 512) -> dict:
     """Map the reference MotionDecoder state_dict (AToM/model/model.py:242-383)
     onto our MotionDecoder param tree. Dead reference modules (face_mlp,
@@ -118,4 +141,192 @@ def convert_atom_decoder(sd: dict, num_layers: int = 8, d: int = 512) -> dict:
         p[f"{proj}_fc2"] = _lin(sd, f"{proj}.3")
     for i in range(num_layers):
         p[f"decoder_{i}"] = _decoder_layer(sd, f"seqTransDecoder.stack.{i}", d)
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# MToV ViT autoencoder (MToV/models/autoencoder/autoencoder_vit.py)
+# --------------------------------------------------------------------------
+
+def _timesformer_block(sd: dict, prefix: str, i: int) -> dict:
+    """reference layers.{i} = [PreNorm(time_attn), PreNorm(space_attn),
+    PreNorm(ff)] (vit_modules.py:199-207)."""
+    out = {}
+    for j, (norm_name, attn_name) in enumerate(
+            [("time_norm", "time_attn"), ("space_norm", "space_attn")]):
+        p = f"{prefix}.layers.{i}.{j}"
+        out[norm_name] = _ln(sd, f"{p}.norm")
+        out[attn_name] = {
+            "to_qkv": _lin_nobias(sd, f"{p}.fn.to_qkv"),
+            "to_out": _lin(sd, f"{p}.fn.to_out.0"),
+        }
+    p = f"{prefix}.layers.{i}.2"
+    out["ff_norm"] = _ln(sd, f"{p}.norm")
+    out["ff"] = {"fc1": _lin(sd, f"{p}.fn.net.0"),
+                 "fc2": _lin(sd, f"{p}.fn.net.3")}
+    return out
+
+
+def _timesformer(sd: dict, prefix: str, depth: int,
+                 with_patch: bool) -> dict:
+    out = {}
+    if with_patch:
+        out["to_patch_embedding"] = _lin(sd, f"{prefix}.to_patch_embedding")
+    for i in range(depth):
+        out[f"block_{i}"] = _timesformer_block(sd, prefix, i)
+    return out
+
+
+def _quant_attn(sd: dict, prefix: str, depth: int) -> dict:
+    """autoencoder_vit.Transformer: layers.{i} = [PreNorm(Attention),
+    PreNorm(FeedForward)] (autoencoder_vit.py:65-83)."""
+    out = {}
+    for i in range(depth):
+        attn = f"{prefix}.layers.{i}.0"
+        ff = f"{prefix}.layers.{i}.1"
+        out[f"attn_norm_{i}"] = _ln(sd, f"{attn}.norm")
+        out[f"to_qkv_{i}"] = _lin_nobias(sd, f"{attn}.fn.to_qkv")
+        out[f"to_out_{i}"] = _lin(sd, f"{attn}.fn.to_out.0")
+        out[f"ff_norm_{i}"] = _ln(sd, f"{ff}.norm")
+        out[f"ff1_{i}"] = _lin(sd, f"{ff}.fn.net.0")
+        out[f"ff2_{i}"] = _lin(sd, f"{ff}.fn.net.3")
+    return out
+
+
+def convert_vit_autoencoder(sd: dict, depth: int = 8,
+                            quant_depth: int = 4) -> dict:
+    """Map a reference ViTAutoencoder state_dict onto our param tree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: dict = {
+        "encoder": _timesformer(sd, "encoder", depth, with_patch=True),
+        "decoder": _timesformer(sd, "decoder", depth, with_patch=False),
+        "xy_token": sd["xy_token"],
+        "yt_token": sd["yt_token"],
+        "xt_token": sd["xt_token"],
+        "xy_pos_embedding": sd["xy_pos_embedding"],
+        "yt_pos_embedding": sd["yt_pos_embedding"],
+        "xt_pos_embedding": sd["xt_pos_embedding"],
+        "xy_quant_attn": _quant_attn(sd, "xy_quant_attn", quant_depth),
+        "yt_quant_attn": _quant_attn(sd, "yt_quant_attn", quant_depth),
+        "xt_quant_attn": _quant_attn(sd, "xt_quant_attn", quant_depth),
+    }
+    for name in ("pre_xy", "pre_yt", "pre_xt", "post_xy", "post_yt",
+                 "post_xt"):
+        p[name] = _conv1x1_as_dense(sd, name)
+    # ConvTranspose2d weight [I, O, kh, kw] → flax ConvTranspose with
+    # transpose_kernel=True expects [kh, kw, O, I]
+    w = np.asarray(sd["to_pixel.1.weight"])
+    p["to_pixel"] = {
+        "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+        "bias": np.asarray(sd["to_pixel.1.bias"]),
+    }
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# MToV triplane UNet (MToV/models/ddpm/unet.py)
+# --------------------------------------------------------------------------
+
+def _unet_resblock(sd: dict, prefix: str, has_skip: bool) -> dict:
+    out = {
+        "in_norm": _gn(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _lin(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _gn(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv(sd, f"{prefix}.out_layers.3"),
+    }
+    if has_skip:
+        out["skip"] = _conv(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _unet_attn(sd: dict, prefix: str, num_heads: int) -> dict:
+    return {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "qkv": _qkv_headmajor_to_qkvmajor(sd, f"{prefix}.qkv", num_heads),
+        "proj_out": _conv1x1_as_dense(sd, f"{prefix}.proj_out"),
+    }
+
+
+def convert_triplane_unet(sd: dict, model_channels: int = 128,
+                          num_res_blocks: int = 2,
+                          channel_mult=(1, 2, 4, 4),
+                          attention_resolutions=(4, 2, 1),
+                          num_heads: int = 8) -> dict:
+    """Map a reference UNetModel state_dict onto our TriplaneUNet tree.
+
+    Walks the reference module layout (unet.py:710-975) in construction
+    order, mirroring the index bookkeeping of the constructor. The unused
+    ``output_bg_*`` branches are skipped.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    mc = model_channels
+    p: dict = {
+        "time_embed_1": _lin(sd, "time_embed.0"),
+        "time_embed_2": _lin(sd, "time_embed.2"),
+        "input_conv": _conv(sd, "input_blocks.0.0"),
+        "out_norm": _gn(sd, "out.0"),
+        "out_conv": _conv(sd, "out.2"),
+    }
+
+    def has_skip(prefix):
+        return f"{prefix}.skip_connection.weight" in sd
+
+    # ---- input path
+    i_res = 0          # our in_res_{i}
+    i_attn2d = 0       # position in in_attn2d (None-aware naming below)
+    block_idx = 1      # reference input_blocks index
+    ch = mc
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            prefix = f"input_blocks.{block_idx}.0"
+            p[f"in_res_{i_res}"] = _unet_resblock(sd, prefix, has_skip(prefix))
+            ch = mult * mc
+            if ds in attention_resolutions:
+                p[f"in_attn2d_{i_attn2d}"] = _unet_attn(
+                    sd, f"input_blocks.{block_idx}.1", num_heads)
+            p[f"in_joint_{i_res + 1}"] = _unet_attn(
+                sd, f"input_attns.{block_idx}", num_heads)
+            i_res += 1
+            i_attn2d += 1
+            block_idx += 1
+        if level != len(channel_mult) - 1:
+            prefix = f"input_blocks.{block_idx}.0"
+            p[f"in_res_{i_res}"] = _unet_resblock(sd, prefix, has_skip(prefix))
+            p[f"in_joint_{i_res + 1}"] = _unet_attn(
+                sd, f"input_attns.{block_idx}", num_heads)
+            i_res += 1
+            i_attn2d += 1
+            block_idx += 1
+            ds *= 2
+
+    # ---- middle
+    p["mid_res1"] = _unet_resblock(sd, "middle_block.0",
+                                   has_skip("middle_block.0"))
+    p["mid_attn2d"] = _unet_attn(sd, "middle_block.1", num_heads)
+    p["mid_res2"] = _unet_resblock(sd, "middle_block.2",
+                                   has_skip("middle_block.2"))
+    p["mid_joint"] = _unet_attn(sd, "mid_attn", num_heads)
+
+    # ---- output path
+    o = 0
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            prefix = f"output_blocks.{o}.0"
+            p[f"out_res_{o}"] = _unet_resblock(sd, prefix, has_skip(prefix))
+            ch = mult * mc
+            li = 1
+            if ds in attention_resolutions:
+                p[f"out_attn2d_{o}"] = _unet_attn(
+                    sd, f"output_blocks.{o}.{li}", num_heads)
+                li += 1
+            if level and i == num_res_blocks:
+                up_prefix = f"output_blocks.{o}.{li}"
+                p[f"out_up_{o}"] = _unet_resblock(sd, up_prefix,
+                                                  has_skip(up_prefix))
+                ds //= 2
+            p[f"out_joint_{o}"] = _unet_attn(sd, f"output_attns.{o}",
+                                             num_heads)
+            o += 1
     return {"params": p}
