@@ -1,0 +1,118 @@
+"""End-to-end MToV sampling benchmark — prints ONE JSON line (stdout).
+
+Measures the full per-window motion-to-video sampling path on the attached
+TPU chip at the reference operating point (256² × 16 frames, DDIM-100,
+base.yaml UNet mc=128, AE channels 384 — BASELINE.md):
+
+    3 × AE.extract (landmark video, masked video, reference frame)
+    → 100 × triplane-UNet denoise (lax.scan)
+    → AE.decode_from_sample
+
+Stages are jitted separately (extract / denoise / decode) so each program
+compiles once and the extract program is reused for all three conditions.
+Batches B windows per step — the reference samples ONE window at a time on
+one GPU (sample.py:305); frames/sec/chip = B·16 / step_time.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md). We use a
+documented ESTIMATE of the reference's single-H100 throughput for the same
+op point: ~100 UNet steps × ~8 ms (torch eager, mc=128, [1,4,2048]) + AE
+extract/decode ≈ 1.2 s per 16-frame window ≈ 13.3 frames/s. vs_baseline =
+measured / 13.3.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_H100_FPS_ESTIMATE = 13.3
+BATCH = 4
+ITERS = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,
+                                       MtovUNetConfig)
+    from moditalker_tpu.models.mtov import MtovDDPM, ViTAutoencoder
+
+    dtype = jnp.bfloat16
+    ae_cfg = MtovAEConfig()
+    unet_cfg = MtovUNetConfig()
+    diff_cfg = MtovDiffusionConfig(sampling_timesteps=100)
+
+    ae = ViTAutoencoder(ae_cfg, dtype=dtype)
+    ddpm = MtovDDPM.create(unet_cfg, diff_cfg, dtype=dtype)
+    L = ae_cfg.latent_len
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.uniform(-1, 1, size=(BATCH, ae_cfg.timesteps, ae_cfg.resolution,
+                                 ae_cfg.resolution, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    ae_params = ae.init(key, video[:1, :, :, :, :])
+    log(f"ae init {time.perf_counter()-t0:.1f}s")
+    unet_params = ddpm.model.init(
+        key, jnp.zeros((1, 4, L)), jnp.zeros((1, 8, L)),
+        jnp.zeros((1, 4, L)), jnp.zeros((1,), jnp.int32))
+    log(f"unet init {time.perf_counter()-t0:.1f}s")
+
+    extract = jax.jit(lambda p, v: ae.apply(p, v, method=ae.extract))
+    decode = jax.jit(
+        lambda p, z: ae.apply(p, z, method=ae.decode_from_sample))
+
+    def denoise(unet_params, cond, image_cond, key):
+        return ddpm.ddim_sample(
+            unet_params, key, (cond.shape[0], 4, L), cond, image_cond)
+
+    denoise = jax.jit(denoise)
+
+    def sample_window(key):
+        z_l = extract(ae_params, video)
+        masked_z = extract(ae_params, video)
+        image_cond = extract(ae_params, video)
+        cond = jnp.concatenate([z_l, masked_z], axis=1)
+        latent = denoise(unet_params, cond, image_cond, key)
+        return decode(ae_params, latent)
+
+    out = sample_window(key)
+    jax.block_until_ready(out)
+    log(f"compile+warmup {time.perf_counter()-t0:.1f}s")
+    jax.block_until_ready(sample_window(key))
+
+    t1 = time.perf_counter()
+    for i in range(ITERS):
+        out = sample_window(jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t1) / ITERS
+    log(f"steady-state window time {dt:.3f}s")
+
+    frames_per_sec = BATCH * ae_cfg.timesteps / dt
+    print(json.dumps({
+        "metric": "mtov_e2e_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / REF_H100_FPS_ESTIMATE, 3),
+        "extra": {
+            "batch_windows": BATCH,
+            "window_seconds": round(dt, 4),
+            "ddim_steps": diff_cfg.sampling_timesteps,
+            "resolution": ae_cfg.resolution,
+            "baseline_note": "vs documented estimate of reference 1×H100 "
+                             "eager-torch throughput (no published numbers)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""MToV sampling: autoregressive long-video generation (self-recon & cross-ID).
+
+Re-implements ``MToV/sample.py`` / ``MToV/sample_crossID.py``: per 16-frame
+window — AE-extract the landmark video, pose-masked video and reference
+frame; DDIM-sample the triplane latent (optionally partial-renoise from the
+ground-truth latent, ratio 0.25 fast mode); decode; feed the last generated
+frame back as the next window's reference (``use_last_as_reference``,
+sample.py:342-362). Frames are muxed with the driving audio via ffmpeg.
+
+TPU design: the per-window step (3 extracts + scan'd DDIM + decode) is ONE
+jitted program; multiple identities/windows batch along the leading axis and
+shard across the data mesh — the reference samples one window at a time on
+one GPU (sample.py:305).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MtovAEConfig, MtovDiffusionConfig, MtovUNetConfig
+from ..models.mtov import MtovDDPM, ViTAutoencoder
+
+
+def to_uint8(video: jnp.ndarray) -> np.ndarray:
+    """[-1,1] float → uint8 (ref sample.py:385-386 clamp + scale)."""
+    v = np.clip(np.asarray(video), -1.0, 1.0)
+    return ((v + 1.0) * 127.5).astype(np.uint8)
+
+
+class MtovSamplePipeline:
+    def __init__(
+        self,
+        ae_rgb_params,
+        ae_ldmk_params,
+        unet_params,
+        ae_cfg: MtovAEConfig = MtovAEConfig(),
+        unet_cfg: MtovUNetConfig = MtovUNetConfig(),
+        diff_cfg: MtovDiffusionConfig = MtovDiffusionConfig(
+            sampling_timesteps=100, w=0.0),
+        dtype=jnp.bfloat16,
+    ):
+        self.ae_cfg = ae_cfg
+        self.ae = ViTAutoencoder(ae_cfg, dtype=dtype)
+        self.ddpm = MtovDDPM.create(unet_cfg, diff_cfg, dtype=dtype)
+        self.ae_rgb_params = ae_rgb_params
+        self.ae_ldmk_params = ae_ldmk_params
+        self.unet_params = unet_params
+        self.L = ae_cfg.latent_len
+
+        def window_step(ae_rgb, ae_ldmk, unet, ldmk_video, masked_video,
+                        ref_video, key):
+            z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
+            masked_z = self.ae.apply(ae_rgb, masked_video,
+                                     method=self.ae.extract)
+            image_cond = self.ae.apply(ae_rgb, ref_video,
+                                       method=self.ae.extract)
+            cond = jnp.concatenate([z_l, masked_z], axis=1)
+            latent = self.ddpm.ddim_sample(
+                unet, key, (ldmk_video.shape[0], unet_cfg.in_channels, self.L),
+                cond, image_cond)
+            return self.ae.apply(ae_rgb, latent,
+                                 method=self.ae.decode_from_sample)
+
+        def window_step_noised(ae_rgb, ae_ldmk, unet, gt_video, ldmk_video,
+                               masked_video, ref_video, key, ratio):
+            z = self.ae.apply(ae_rgb, gt_video, method=self.ae.extract)
+            z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
+            masked_z = self.ae.apply(ae_rgb, masked_video,
+                                     method=self.ae.extract)
+            image_cond = self.ae.apply(ae_rgb, ref_video,
+                                       method=self.ae.extract)
+            cond = jnp.concatenate([z_l, masked_z], axis=1)
+            latent = self.ddpm.ddim_sample_noised_start(
+                unet, key, z, cond, image_cond, ratio)
+            return self.ae.apply(ae_rgb, latent,
+                                 method=self.ae.decode_from_sample)
+
+        self._window = jax.jit(window_step)
+        self._window_noised = jax.jit(
+            window_step_noised, static_argnames=("ratio",))
+
+    # ------------------------------------------------------------ API
+    def sample_window(self, ldmk_video, masked_video, ref_video, key,
+                      gt_video=None, noised_start_ratio: float | None = None):
+        """All videos [B, 16, H, W, 3] in [-1, 1] → generated video."""
+        if noised_start_ratio is not None:
+            assert gt_video is not None
+            return self._window_noised(
+                self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
+                gt_video, ldmk_video, masked_video, ref_video, key,
+                noised_start_ratio)
+        return self._window(
+            self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
+            ldmk_video, masked_video, ref_video, key)
+
+    def sample_long(self, windows, key, use_last_as_reference: bool = True,
+                    noised_start_ratio: float | None = None) -> np.ndarray:
+        """Autoregressive multi-window generation (ref sample.py:305-398).
+
+        ``windows``: iterable of dicts with 'x_l', 'masked_x', 'x_ref' (and
+        'x' when using noised starts), each [B, 16, H, W, 3]. Returns the
+        concatenated uint8 video [B, n*16, H, W, 3].
+        """
+        out_frames = []
+        last_frame = None
+        for i, w in enumerate(windows):
+            key, sub = jax.random.split(key)
+            ref = w["x_ref"]
+            if use_last_as_reference and last_frame is not None:
+                # repeat the previous window's final generated frame ×T
+                ref = np.repeat(last_frame[:, None], ref.shape[1], axis=1)
+            gen = self.sample_window(
+                w["x_l"], w["masked_x"], jnp.asarray(ref), sub,
+                gt_video=w.get("x"),
+                noised_start_ratio=noised_start_ratio)
+            gen = np.asarray(gen)
+            last_frame = gen[:, -1]
+            out_frames.append(to_uint8(gen))
+        return np.concatenate(out_frames, axis=1)
+
+
+def has_ffmpeg() -> bool:
+    from shutil import which
+
+    return which("ffmpeg") is not None
+
+
+def write_video(frames: np.ndarray, path: str, fps: int = 25,
+                audio_path: str | None = None):
+    """uint8 [T, H, W, 3] → mp4 via ffmpeg, optionally muxing audio
+    (ref sample.py:109-117 make_video). Falls back to an .npz frame dump
+    when ffmpeg is unavailable in the environment."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if not has_ffmpeg():
+        alt = path.rsplit(".", 1)[0] + ".npz"
+        np.savez_compressed(alt, frames=frames, fps=fps)
+        return alt
+    t, h, w, _ = frames.shape
+    cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+           "-s", f"{w}x{h}", "-r", str(fps), "-i", "pipe:0"]
+    if audio_path:
+        cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
+    cmd += ["-pix_fmt", "yuv420p", "-c:v", "libx264", path]
+    proc = subprocess.run(cmd, input=frames.tobytes(),
+                          capture_output=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ffmpeg failed: {proc.stderr.decode()[-500:]}")
+    return path

@@ -1,0 +1,85 @@
+"""MToV training steps: first-stage GAN trainer and latent-diffusion trainer."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,
+                                   MtovLossConfig, MtovTrainConfig,
+                                   MtovUNetConfig)
+from moditalker_tpu.train.mtov import MtovDiffusionTrainer
+from moditalker_tpu.train.mtov_first_stage import FirstStageTrainer
+
+AE_TINY = MtovAEConfig(channels=32, resolution=32, timesteps=4, depth=1,
+                       heads=2, dim_head=8, quant_depth=1, quant_heads=2,
+                       quant_mlp_dim=16, down=3)
+UNET_TINY = MtovUNetConfig(model_channels=32, num_res_blocks=1,
+                           channel_mult=(1, 2), attention_resolutions=(1, 2),
+                           num_heads=2, latent_res=4, latent_t=4)
+DIFF_TINY = MtovDiffusionConfig(timesteps=20, sampling_timesteps=4)
+TRAIN = MtovTrainConfig(batch_size=8, accum_iter=2)
+
+
+def _video(b=8):
+    rng = np.random.default_rng(0)
+    return rng.uniform(-1, 1, size=(b, 4, 32, 32, 3)).astype(np.float32)
+
+
+def test_first_stage_g_only_loss_drops():
+    # disc_start huge → pure reconstruction phase like base.yaml (1e8)
+    trainer = FirstStageTrainer(AE_TINY, MtovLossConfig(disc_start=10**8),
+                                TRAIN)
+    v = _video()
+    losses = [float(trainer.step(v)["ae_loss"]) for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_first_stage_gan_phase_alternation():
+    # disc_start=0 → G/D alternate every accum cycle (base_gan.yaml: -1)
+    trainer = FirstStageTrainer(AE_TINY, MtovLossConfig(disc_start=0), TRAIN)
+    v = _video()
+    kinds = []
+    for _ in range(8):
+        m = trainer.step(v)
+        kinds.append("d" if "d_loss" in m else "g")
+        assert np.isfinite(float(list(m.values())[0]))
+    # accum 2: two g steps, then two d steps, ...
+    assert kinds == ["g", "g", "d", "d", "g", "g", "d", "d"]
+
+
+def test_first_stage_freeze_decoder():
+    trainer = FirstStageTrainer(AE_TINY, MtovLossConfig(disc_start=10**8),
+                                TRAIN, freeze_decoder=True)
+    before = trainer.state.ae_params["params"]["decoder"]
+    v = _video()
+    for _ in range(TRAIN.accum_iter):
+        trainer.step(v)
+    after = trainer.state.ae_params["params"]["decoder"]
+    leaves_b = jnp.concatenate([x.ravel() for x in
+                                jnp_tree_leaves(before)])
+    leaves_a = jnp.concatenate([x.ravel() for x in
+                                jnp_tree_leaves(after)])
+    np.testing.assert_allclose(np.asarray(leaves_a), np.asarray(leaves_b))
+    # encoder must have moved
+    enc_b = jnp.concatenate([x.ravel() for x in jnp_tree_leaves(
+        trainer.state.ae_params["params"]["encoder"])])
+    assert enc_b.shape[0] > 0
+
+
+def jnp_tree_leaves(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_diffusion_trainer_loss_drops():
+    trainer = MtovDiffusionTrainer(UNET_TINY, DIFF_TINY, TRAIN,
+                                   latent_len=48)
+    rng = np.random.default_rng(0)
+    batch = {
+        "z": np.tanh(rng.normal(size=(8, 4, 48))).astype(np.float32),
+        "cond": rng.normal(size=(8, 8, 48)).astype(np.float32),
+        "image_cond": rng.normal(size=(8, 4, 48)).astype(np.float32),
+    }
+    losses = [float(trainer.step(batch)["loss"]) for _ in range(10)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
