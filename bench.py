@@ -60,9 +60,9 @@ def main():
                                  ae_cfg.resolution, 3)), jnp.float32)
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    ae_params = ae.init(key, video[:1, :, :, :, :])
+    ae_params = jax.jit(ae.init)(key, video[:1, :, :, :, :])
     log(f"ae init {time.perf_counter()-t0:.1f}s")
-    unet_params = ddpm.model.init(
+    unet_params = jax.jit(ddpm.model.init)(
         key, jnp.zeros((1, 4, L)), jnp.zeros((1, 8, L)),
         jnp.zeros((1, 4, L)), jnp.zeros((1,), jnp.int32))
     log(f"unet init {time.perf_counter()-t0:.1f}s")

@@ -145,3 +145,52 @@ class AtomDiffusion:
         """Thin sampling wrapper kept for reference API parity
         (diffusion.py:462-550 — visualization there is commented out)."""
         return self.ddim_sample(params, key, shape, face, cond)
+
+    # ---------------------------------------------------- ancestral loops
+    def _param_kind(self):
+        return "x0" if not self.cfg.predict_epsilon else "eps"
+
+    def p_sample_loop(self, params, key, shape, face, cond,
+                      start_point: int | None = None, x_init=None,
+                      post_step_fn=None):
+        """Full ancestral sampling (ref diffusion.py:177-209)."""
+        return dcore.p_sample_loop(
+            self.sched,
+            self._guided_model_fn(params, face, cond,
+                                  self.cfg.guidance_weight),
+            shape, key,
+            parameterization=self._param_kind(),
+            clip_denoised=self.cfg.clip_denoised,
+            start_point=start_point, x_init=x_init,
+            post_step_fn=post_step_fn)
+
+    def long_inpaint_loop(self, params, key, shape, face, cond,
+                          start_point: int | None = None):
+        """Batched chunked ancestral sampling with the overlap constraint
+        (ref diffusion.py:343-390)."""
+        if shape[0] == 1:
+            return self.p_sample_loop(params, key, shape, face, cond,
+                                      start_point=start_point)
+        half = shape[1] // 2
+
+        def constraint(x, t):
+            return x.at[1:, :half].set(x[:-1, half:])
+
+        return self.p_sample_loop(params, key, shape, face, cond,
+                                  start_point=start_point,
+                                  post_step_fn=constraint)
+
+    def noise_to_t(self, key, x, timestep: int):
+        """q_sample x to a fixed timestep (ref diffusion.py:457-460)."""
+        if timestep <= 0:
+            return x
+        t = jnp.full((x.shape[0],), timestep, dtype=jnp.int32)
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        return dcore.q_sample(self.sched, x, t, noise)
+
+    def partial_denoise(self, params, key, x, face, cond, timestep: int):
+        """Renoise to t then ancestral-denoise (ref diffusion.py:453-455)."""
+        k1, k2 = jax.random.split(key)
+        x_noisy = self.noise_to_t(k1, x, timestep)
+        return self.p_sample_loop(params, k2, x.shape, face, cond,
+                                  start_point=timestep, x_init=x_noisy)

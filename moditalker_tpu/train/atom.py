@@ -39,7 +39,7 @@ def create_state(diff: AtomDiffusion, tx: optax.GradientTransformation,
     face = jnp.zeros((b, t, model_cfg.repr_dim))
     cond = jnp.zeros((b, t * 2, model_cfg.cond_feature_dim))
     ts = jnp.zeros((b,), jnp.int32)
-    params = diff.model.init(key, x, face, cond, ts)
+    params = jax.jit(diff.model.init)(key, x, face, cond, ts)
     return TrainState(
         params=params,
         ema_params=jax.tree_util.tree_map(jnp.copy, params),

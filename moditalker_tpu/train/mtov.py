@@ -49,7 +49,7 @@ def create_state(ddpm: MtovDDPM, tx: optax.GradientTransformation, key,
     cond = jnp.zeros((1, cfg.cond_channels, latent_len))
     ic = jnp.zeros((1, cfg.image_cond_channels, latent_len))
     t = jnp.zeros((1,), jnp.int32)
-    params = ddpm.model.init(key, x, cond, ic, t)
+    params = jax.jit(ddpm.model.init)(key, x, cond, ic, t)
     return TrainState(
         params=params,
         ema_params=jax.tree_util.tree_map(jnp.copy, params),

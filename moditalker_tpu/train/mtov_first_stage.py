@@ -75,11 +75,11 @@ class FirstStageTrainer:
         t, r = ae_cfg.timesteps, ae_cfg.resolution
         x = jnp.zeros((1, t, r, r, 3))
         frame = jnp.zeros((1, r, r, 3))
-        ae_params = self.ae.init(k1, x)
-        d2 = self.disc2d.init(k2, frame)
-        d3 = self.disc3d.init(k3, x)
+        ae_params = jax.jit(self.ae.init)(k1, x)
+        d2 = jax.jit(self.disc2d.init)(k2, frame)
+        d3 = jax.jit(self.disc3d.init)(k3, x)
         if lpips_params is None:
-            lpips_params = self.lpips.init(k4, frame, frame)
+            lpips_params = jax.jit(self.lpips.init)(k4, frame, frame)
         self.lpips_params = lpips_params
 
         accum = train_cfg.accum_iter
