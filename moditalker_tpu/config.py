@@ -147,6 +147,7 @@ class MtovLossConfig:
     gan_feat_weight: float = 4.0
     disc_in_channels: int = 3
     disc_layers: int = 3
+    disc_ndf: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,9 +66,9 @@ class FirstStageTrainer:
         self.ae = ViTAutoencoder(ae_cfg, dtype=dtype)
         self.lpips = LPIPS(dtype=dtype)
         self.disc2d = PatchDiscriminator2D(
-            ndf=64, n_layers=loss_cfg.disc_layers, dtype=dtype)
+            ndf=loss_cfg.disc_ndf, n_layers=loss_cfg.disc_layers, dtype=dtype)
         self.disc3d = PatchDiscriminator3D(
-            ndf=64, n_layers=loss_cfg.disc_layers, dtype=dtype)
+            ndf=loss_cfg.disc_ndf, n_layers=loss_cfg.disc_layers, dtype=dtype)
 
         key = jax.random.PRNGKey(train_cfg.seed)
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -87,12 +87,14 @@ class FirstStageTrainer:
                              b2=train_cfg.ae_betas[1])
         if freeze_decoder:
             # first_stage_x_l_train freezes the decoder/to_pixel branch
-            def mask_fn(params):
+            def label_fn(params):
                 def mark(path, _):
-                    top = path[0].key if hasattr(path[0], "key") else path[0]
-                    return top not in ("decoder", "to_pixel")
+                    names = {p.key for p in path if hasattr(p, "key")}
+                    frozen = names.intersection({"decoder", "to_pixel"})
+                    return "freeze" if frozen else "train"
                 return jax.tree_util.tree_map_with_path(mark, params)
-            base_g = optax.masked(base_g, mask_fn)
+            base_g = optax.multi_transform(
+                {"train": base_g, "freeze": optax.set_to_zero()}, label_fn)
         self.g_tx = optax.MultiSteps(base_g, every_k_schedule=accum)
         self.d_tx = optax.MultiSteps(
             optax.adamw(train_cfg.lr, b1=train_cfg.ae_betas[0],
