@@ -227,3 +227,68 @@ def synthetic_mtov_batch(batch_size: int = 2, timesteps: int = 16,
                                         resolution, 3)).astype(np.float32)
 
     return {"x_ref": v(), "x": v(), "x_l": v(), "masked_x": v()}
+
+
+class SequentialWindowDataset:
+    """Sequential 16-frame windows over one identity's frames + ALIGNED
+    landmarks (AToM output) — the sampling-time dataset
+    (ref tools/dataloader_sample.py:181-250; __len__ = total // nframes).
+
+    ``frames_dir``: directory of jpg/png frames; ``aligned_dir``: directory
+    of per-frame [68, 2] .npy landmark files (motion-align output).
+    For cross-ID sampling pass a DIFFERENT identity's frames_dir than the
+    aligned_dir (ref dataloader_sample_crossID.py:31,187-189 — landmarks
+    follow the driving audio identity, frames the reference identity).
+    """
+
+    def __init__(self, frames_dir: str, aligned_dir: str, nframes: int = 16,
+                 resolution: int = 256):
+        self.frames_dir = frames_dir
+        self.aligned_dir = aligned_dir
+        self.nframes = nframes
+        self.resolution = resolution
+        self.frames = sorted(
+            (f for f in os.listdir(frames_dir)
+             if f.lower().endswith((".jpg", ".png"))), key=natsort_key)
+        self.lms = sorted(
+            (f for f in os.listdir(aligned_dir) if f.endswith(".npy")),
+            key=natsort_key)
+        self.n = min(len(self.frames), len(self.lms))
+
+    def __len__(self):
+        return self.n // self.nframes
+
+    def _frame(self, fname):
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.frames_dir, fname))
+        return np.asarray(img.convert("RGB"), np.float32)
+
+    def __getitem__(self, index: int) -> dict:
+        lo = index * self.nframes
+        clip = self.frames[lo : lo + self.nframes]
+        lm_files = self.lms[lo : lo + self.nframes]
+        vid = np.stack([self._frame(f) for f in clip])
+        ref = np.stack([self._frame(self.frames[0])] * len(clip))
+        kpts = np.stack([
+            np.load(os.path.join(self.aligned_dir, f)) for f in lm_files])
+        masked = np.stack([
+            crop_lower_half(v.astype(np.uint8), k).astype(np.float32)
+            for v, k in zip(vid, kpts)])
+        ldmk = rasterize_landmarks(kpts, size=256,
+                                   src_wh=vid.shape[2]).astype(np.float32)
+        res = self.resolution
+        return {
+            "x_ref": resize_crop(ref, res),
+            "x": resize_crop(vid, res),
+            "x_l": ldmk if ldmk.shape[1] == res else resize_crop(ldmk, res),
+            "masked_x": resize_crop(masked, res),
+        }
+
+    def windows(self, batch: int = 1):
+        """Yield model-range batched windows for the AR sampling pipeline."""
+        for i in range(len(self)):
+            item = self[i]
+            yield {k: to_model_range(v[None].repeat(batch, axis=0))
+                   if batch > 1 else to_model_range(v[None])
+                   for k, v in item.items()}
