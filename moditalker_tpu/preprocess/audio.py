@@ -90,6 +90,25 @@ def torch_hubert_forward(model_name: str = "facebook/hubert-large-ls960-ft",
     return fn
 
 
+def flax_hubert_forward(params, cfg=None):
+    """TPU-native model_fn: jitted flax HuBERT encoder. Because chunk
+    lengths are one of only two static shapes (full clip / tail), jit
+    compiles at most a handful of programs."""
+    import jax
+    import jax.numpy as jnp
+
+    from .hubert import HubertConfig, HubertEncoder
+
+    model = HubertEncoder(cfg or HubertConfig())
+    apply = jax.jit(model.apply)
+
+    def fn(wave):
+        out = apply(params, jnp.asarray(wave))
+        return out[0]
+
+    return fn
+
+
 def ffmpeg_resample_to_16k(src: str, dst: str,
                            sampling_rate: int = 16000) -> str:
     """ref convert_wav_sampling_rate (process_audio.py:57-64)."""

@@ -330,3 +330,30 @@ def convert_triplane_unet(sd: dict, model_channels: int = 128,
                                              num_heads)
             o += 1
     return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# LPIPS (losses/lpips.py): torchvision VGG16 features + richzhang lin heads
+# --------------------------------------------------------------------------
+
+def convert_lpips(vgg_features_sd: dict, lpips_sd: dict) -> dict:
+    """Build our LPIPS param tree from torch weights.
+
+    ``vgg_features_sd``: torchvision ``vgg16().features`` state_dict
+    (conv layers at indices 0,2,5,7,10,12,14,17,19,21,24,26,28);
+    ``lpips_sd``: the richzhang ``vgg.pth`` checkpoint with keys
+    ``lin{k}.model.1.weight`` [1, C, 1, 1].
+    """
+    conv_indices = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params: dict = {"net": {}}
+    for i, idx in enumerate(conv_indices):
+        w = np.asarray(vgg_features_sd[f"{idx}.weight"])
+        b = np.asarray(vgg_features_sd[f"{idx}.bias"])
+        params["net"][f"conv_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+            "bias": b,
+        }
+    for k in range(5):
+        w = np.asarray(lpips_sd[f"lin{k}.model.1.weight"])  # [1, C, 1, 1]
+        params[f"lin_{k}"] = w[0, :, 0, 0].reshape(-1, 1)
+    return {"params": params}
