@@ -1,0 +1,117 @@
+"""Fused attention kernel for TPU (Pallas).
+
+One pallas_call computes softmax(q·kᵀ·scale)·v entirely in VMEM for a
+q-block, avoiding HBM round-trips for the [N, N] score matrix. Shapes in
+this model family are short-sequence (N ≤ 2048: triplane joint attention
+2048, TimeSformer space 1024 / time 16, quant pools ≤ 33) with head dim
+64 — K/V for a whole sequence fit comfortably in VMEM, so the kernel grids
+over (batch·heads, q-blocks) and loops K-blocks with an online softmax.
+
+``fused_attention`` falls back to the XLA einsum path for ragged shapes or
+non-TPU backends. Parity with ``ops.attention.sdpa`` is covered by
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..attention import sdpa as xla_sdpa
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
+    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+    n = k_ref.shape[1]
+    num_kb = n // block_k
+
+    bq, d = q.shape
+    m_i = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    def body(kb, carry):
+        m_i, l_i, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        m_new = jnp.maximum(m_i, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused(q, k, v, scale: float, interpret: bool = False):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    block_q = min(128, max(8, nq))
+    block_k = min(128, max(8, nk))
+    nq_p = ((nq + block_q - 1) // block_q) * block_q
+    nk_p = ((nk + block_k - 1) // block_k) * block_k
+    qp = _pad_to(q, nq_p, 1)
+    kp = _pad_to(k, nk_p, 1)
+    vp = _pad_to(v, nk_p, 1)
+    if nk_p != nk:
+        # mask padded keys by pushing their scores to -inf via a huge
+        # negative value channel trick: zero keys give score 0, which is
+        # wrong — instead bias via concatenating handled below.
+        raise ValueError("nk must be a multiple of the k block")
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, block_k=block_k),
+        grid=(b, nq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :nq]
+
+
+def fused_attention(q, k, v, scale: float | None = None,
+                    interpret: bool = False):
+    """Drop-in for ``sdpa`` on [B, N, D] (fold heads into B first).
+
+    Falls back to the XLA path when pallas is unavailable or the key length
+    doesn't tile cleanly.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    nk = k.shape[1]
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    tiles_ok = nk % 8 == 0 and q.shape[-1] % 8 == 0
+    block_k = min(128, max(8, nk))
+    if (not _HAS_PALLAS or not on_tpu or not tiles_ok
+            or nk % block_k != 0):
+        return xla_sdpa(q, k, v, scale=scale)
+    return _fused(q, k, v, float(scale), interpret)
