@@ -69,6 +69,32 @@ def crop_lower_half(img: np.ndarray, landmarks: np.ndarray) -> np.ndarray:
     return out
 
 
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with torch ``F.interpolate(align_corners=False)``
+    semantics (half-pixel centers, NO antialiasing — PIL's resize
+    antialiases and does not match). img [..., H, W, C]."""
+    h, w = img.shape[-3], img.shape[-2]
+
+    def axis_coords(out_n, in_n):
+        src = (np.arange(out_n, dtype=np.float64) + 0.5) * (in_n / out_n) - 0.5
+        src = np.clip(src, 0, in_n - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_n - 1)
+        frac = (src - lo).astype(np.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_coords(out_h, h)
+    xlo, xhi, xf = axis_coords(out_w, w)
+    top = img[..., ylo, :, :]
+    bot = img[..., yhi, :, :]
+    yf = yf[:, None, None]
+    rows = top * (1 - yf) + bot * yf
+    left = rows[..., :, xlo, :]
+    right = rows[..., :, xhi, :]
+    xf = xf[None, :, None]
+    return (left * (1 - xf) + right * xf).astype(np.float32)
+
+
 def resize_crop(video: np.ndarray, resolution: int) -> np.ndarray:
     """Center-crop to square then bilinear-resize (ref data_utils.py:73-97).
     video [T, H, W, C] float → [T, res, res, C]."""
@@ -80,15 +106,8 @@ def resize_crop(video: np.ndarray, resolution: int) -> np.ndarray:
         half = (w - h) // 2
         video = video[:, :, half : half + h]
     if video.shape[1] == resolution:
-        return video
-    if Image is None:
-        raise RuntimeError("PIL required for resizing")
-    out = np.empty((t, resolution, resolution, c), np.float32)
-    for i in range(t):
-        im = Image.fromarray(video[i].astype(np.uint8))
-        out[i] = np.asarray(
-            im.resize((resolution, resolution), Image.BILINEAR), np.float32)
-    return out
+        return video.astype(np.float32)
+    return bilinear_resize(video, resolution, resolution)
 
 
 def to_model_range(video_u8: np.ndarray) -> np.ndarray:

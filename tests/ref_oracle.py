@@ -8,6 +8,7 @@ No reference code lives in this repo.
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import os
 import sys
 
@@ -41,6 +42,10 @@ def _stub_missing(names: list[str]):
                 if mod_name not in sys.modules:
                     mod = types.ModuleType(mod_name)
                     mod.__path__ = []  # mark as package for submodule imports
+                    # a real ModuleSpec so importlib.util.find_spec on the
+                    # stub doesn't blow up in unrelated libraries
+                    mod.__spec__ = importlib.machinery.ModuleSpec(
+                        mod_name, loader=None, is_package=True)
 
                     def _getattr(attr, _m=mod_name):
                         # permissive access for "from x import y"; keep import
