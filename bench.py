@@ -77,23 +77,31 @@ def main():
 
     denoise = jax.jit(denoise)
 
-    def sample_window(key):
+    def sample_window(ref_video, key):
         z_l = extract(ae_params, video)
         masked_z = extract(ae_params, video)
-        image_cond = extract(ae_params, video)
+        image_cond = extract(ae_params, ref_video)
         cond = jnp.concatenate([z_l, masked_z], axis=1)
         latent = denoise(unet_params, cond, image_cond, key)
         return decode(ae_params, latent)
 
-    out = sample_window(key)
-    jax.block_until_ready(out)
-    log(f"compile+warmup {time.perf_counter()-t0:.1f}s")
-    jax.block_until_ready(sample_window(key))
+    def fetch(x):
+        # the relay's block_until_ready can return before execution
+        # completes; a host fetch is the only reliable barrier
+        return np.asarray(x[0, 0, :2, :2, 0])
 
+    out = sample_window(video, key)
+    fetch(out)
+    log(f"compile+warmup {time.perf_counter()-t0:.1f}s")
+    fetch(sample_window(video, key))
+
+    # autoregressive chaining: window i's reference is window i-1's output,
+    # so iterations are data-dependent and cannot be elided or overlapped
     t1 = time.perf_counter()
+    out = video
     for i in range(ITERS):
-        out = sample_window(jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
+        out = sample_window(out.astype(jnp.float32), jax.random.PRNGKey(i))
+    fetch(out)
     dt = (time.perf_counter() - t1) / ITERS
     log(f"steady-state window time {dt:.3f}s")
 

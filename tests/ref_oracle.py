@@ -66,6 +66,7 @@ _STUBS = [
     "p_tqdm",
     "pyspng",
     "av",
+    "natsort",
 ]
 
 
