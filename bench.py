@@ -28,9 +28,11 @@ import time
 
 import numpy as np
 
+import os
+
 REF_H100_FPS_ESTIMATE = 13.3
-BATCH = 4
-ITERS = 3
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 
 
 def log(msg):

@@ -158,13 +158,24 @@ class SelfAttentionBlock(nn.Module):
 
 
 class TriplaneUNet(nn.Module):
+    """Set ``remat=True`` to rematerialize each UNet stage (the reference
+    force-checkpoints its attention blocks — unet.py:245,292; on TPU
+    ``jax.checkpoint`` trades HBM for recompute, useful for the 256-channel
+    longvid config)."""
+
     cfg: MtovUNetConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         cfg = self.cfg
         mc = cfg.model_channels
         emb_ch = mc * 4
+        Res, Attn = ResBlock, SelfAttentionBlock
+        if self.remat:
+            # the deterministic flag must stay static under remat
+            Res = nn.remat(ResBlock, static_argnums=(2,))
+            Attn = nn.remat(SelfAttentionBlock)
         self.time_embed_1 = nn.Dense(emb_ch, dtype=self.dtype)
         self.time_embed_2 = nn.Dense(emb_ch, dtype=self.dtype)
         self.input_conv = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype)
@@ -182,20 +193,20 @@ class TriplaneUNet(nn.Module):
         ds = 1
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
-                in_res.append(ResBlock(channels=ch, out_channels=mult * mc, **dd))
+                in_res.append(Res(channels=ch, out_channels=mult * mc, **dd))
                 ch = mult * mc
                 in_attn2d.append(
-                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+                    Attn(ch, cfg.num_heads, dtype=self.dtype)
                     if ds in cfg.attention_resolutions else None)
                 in_joint.append(
-                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+                    Attn(ch, cfg.num_heads, dtype=self.dtype))
                 chans.append(ch)
             if level != len(cfg.channel_mult) - 1:
-                in_res.append(ResBlock(channels=ch, out_channels=ch, down=True,
+                in_res.append(Res(channels=ch, out_channels=ch, down=True,
                                        **dd))
                 in_attn2d.append(None)
                 in_joint.append(
-                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+                    Attn(ch, cfg.num_heads, dtype=self.dtype))
                 chans.append(ch)
                 ds *= 2
         self.in_res = in_res
@@ -204,10 +215,10 @@ class TriplaneUNet(nn.Module):
         self._input_chans = chans
         self._mid_ds = ds
 
-        self.mid_res1 = ResBlock(channels=ch, out_channels=ch, **dd)
-        self.mid_attn2d = SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
-        self.mid_res2 = ResBlock(channels=ch, out_channels=ch, **dd)
-        self.mid_joint = SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+        self.mid_res1 = Res(channels=ch, out_channels=ch, **dd)
+        self.mid_attn2d = Attn(ch, cfg.num_heads, dtype=self.dtype)
+        self.mid_res2 = Res(channels=ch, out_channels=ch, **dd)
+        self.mid_joint = Attn(ch, cfg.num_heads, dtype=self.dtype)
 
         out_res: list = []
         out_attn2d: list = []
@@ -218,19 +229,19 @@ class TriplaneUNet(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 ich = chans_pop.pop()
                 out_res.append(
-                    ResBlock(channels=ch + ich, out_channels=mult * mc, **dd))
+                    Res(channels=ch + ich, out_channels=mult * mc, **dd))
                 ch = mult * mc
                 out_attn2d.append(
-                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype)
+                    Attn(ch, cfg.num_heads, dtype=self.dtype)
                     if ds in cfg.attention_resolutions else None)
                 if level and i == cfg.num_res_blocks:
-                    out_up.append(ResBlock(channels=ch, out_channels=ch,
+                    out_up.append(Res(channels=ch, out_channels=ch,
                                            up=True, **dd))
                     ds //= 2
                 else:
                     out_up.append(None)
                 out_joint.append(
-                    SelfAttentionBlock(ch, cfg.num_heads, dtype=self.dtype))
+                    Attn(ch, cfg.num_heads, dtype=self.dtype))
         self.out_res = out_res
         self.out_attn2d = out_attn2d
         self.out_up = out_up
@@ -267,6 +278,11 @@ class TriplaneUNet(nn.Module):
     def _attn2d(self, attn, p):
         b, h, w, c = p.shape
         return attn(p.reshape(b, h * w, c)).reshape(b, h, w, c)
+
+    def _maybe_remat(self, fn):
+        if not self.remat:
+            return fn
+        return nn.remat(fn) if isinstance(fn, nn.Module) else jax.checkpoint(fn)
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x, cond, image_cond, t, deterministic: bool = True):
