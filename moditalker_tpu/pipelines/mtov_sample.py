@@ -55,10 +55,12 @@ class MtovSamplePipeline:
         def window_step(ae_rgb, ae_ldmk, unet, ldmk_video, masked_video,
                         ref_video, key):
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
-            masked_z = self.ae.apply(ae_rgb, masked_video,
-                                     method=self.ae.extract)
-            image_cond = self.ae.apply(ae_rgb, ref_video,
-                                       method=self.ae.extract)
+            # masked + reference share the RGB AE: one batched extract
+            b = masked_video.shape[0]
+            z2 = self.ae.apply(
+                ae_rgb, jnp.concatenate([masked_video, ref_video], axis=0),
+                method=self.ae.extract)
+            masked_z, image_cond = z2[:b], z2[b:]
             cond = jnp.concatenate([z_l, masked_z], axis=1)
             latent = self.ddpm.ddim_sample(
                 unet, key, (ldmk_video.shape[0], unet_cfg.in_channels, self.L),
