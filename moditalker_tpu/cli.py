@@ -128,6 +128,97 @@ def cmd_process_audio(args):
     print(f"saved {args.out} {feats.shape}")
 
 
+def cmd_atom_infer(args):
+    import jax
+
+    from .config import AtomDiffusionConfig, AtomModelConfig
+    from .core.checkpoint import load_single
+    from .pipelines.atom_infer import AtomInferencePipeline
+    from .preprocess.bfm import Face3DHelper
+
+    mc = AtomModelConfig()
+    if args.checkpoint:
+        tpl = None
+        state = load_single(args.checkpoint, tpl)
+        params = state.get("ema_params", state.get("params"))
+    else:
+        from .models.atom import MotionDecoder
+        import jax.numpy as jnp
+
+        m = MotionDecoder(mc)
+        params = jax.jit(m.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, mc.horizon, 204)),
+            jnp.zeros((1, mc.horizon, 204)),
+            jnp.zeros((1, mc.horizon * 2, 1024)),
+            jnp.zeros((1,), "int32"))
+        print("WARNING: no checkpoint given — random weights", file=sys.stderr)
+
+    face3d = (Face3DHelper.from_bfm(args.bfm_dir) if args.bfm_dir
+              else Face3DHelper.synthetic())
+    pipe = AtomInferencePipeline(params, mc, AtomDiffusionConfig(),
+                                 face3d=face3d)
+    identities = {}
+    for name in sorted(os.listdir(args.keypoint_dir)):
+        kp = np.load(os.path.join(args.keypoint_dir, name, "00000.npy"))
+        hub = np.load(args.hubert)
+        identities[name] = (kp, hub)
+    paths = pipe.run_directory(identities, args.out_dir, seed=args.seed)
+    for n, p in paths.items():
+        print(f"{n}: {p}")
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .config import (MtovAEConfig, MtovDiffusionConfig, MtovUNetConfig)
+    from .data.mtov_dataset import SequentialWindowDataset
+    from .models.mtov import MtovDDPM, ViTAutoencoder
+    from .pipelines.mtov_sample import MtovSamplePipeline, write_video
+
+    ae_cfg = MtovAEConfig()
+    unet_cfg = MtovUNetConfig()
+    diff_cfg = MtovDiffusionConfig(
+        sampling_timesteps=args.sampling_steps, w=0.0)
+
+    def _load(path, init_fn):
+        from .core.checkpoint import load_single
+        if path:
+            return load_single(path)
+        print(f"WARNING: random weights ({init_fn.__name__})",
+              file=sys.stderr)
+        return init_fn()
+
+    ae = ViTAutoencoder(ae_cfg)
+    ddpm = MtovDDPM.create(unet_cfg, diff_cfg)
+    key = jax.random.PRNGKey(args.seed)
+    v = jnp.zeros((1, ae_cfg.timesteps, ae_cfg.resolution,
+                   ae_cfg.resolution, 3))
+    L = ae_cfg.latent_len
+
+    def init_ae():
+        return jax.jit(ae.init)(key, v)
+
+    def init_unet():
+        return jax.jit(ddpm.model.init)(
+            key, jnp.zeros((1, 4, L)), jnp.zeros((1, 8, L)),
+            jnp.zeros((1, 4, L)), jnp.zeros((1,), "int32"))
+
+    pipe = MtovSamplePipeline(
+        _load(args.ae_rgb, init_ae), _load(args.ae_ldmk, init_ae),
+        _load(args.diffusion_model, init_unet), ae_cfg, unet_cfg, diff_cfg)
+    ds = SequentialWindowDataset(args.frames_dir, args.aligned_dir,
+                                 nframes=ae_cfg.timesteps,
+                                 resolution=ae_cfg.resolution)
+    frames = pipe.sample_long(
+        ds.windows(), jax.random.PRNGKey(args.seed),
+        use_last_as_reference=not args.no_last_as_reference,
+        noised_start_ratio=args.noised_start_ratio)
+    out = write_video(frames[0], os.path.join(args.out_dir, "sample.mp4"),
+                      fps=25, audio_path=args.audio)
+    print(f"video: {out}")
+
+
 def _save_state(state, out_dir, name):
     from .core.checkpoint import host_tree, save_single
     import os
@@ -165,6 +256,31 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--resample", action="store_true")
     p.set_defaults(fn=cmd_process_audio)
+
+    p = sub.add_parser("atom-infer")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--keypoint-dir", required=True,
+                   help="keypoints/face-centric/unposed root")
+    p.add_argument("--hubert", required=True, help="hubert .npy path")
+    p.add_argument("--bfm-dir", default=None)
+    p.add_argument("--out-dir", default="runs/atom_infer")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_atom_infer)
+
+    p = sub.add_parser("sample")
+    p.add_argument("--frames-dir", required=True)
+    p.add_argument("--aligned-dir", required=True,
+                   help="aligned_npy/{id} dir (cross-ID: another identity's)")
+    p.add_argument("--ae-rgb", default=None)
+    p.add_argument("--ae-ldmk", default=None)
+    p.add_argument("--diffusion-model", default=None)
+    p.add_argument("--audio", default=None)
+    p.add_argument("--sampling-steps", type=int, default=100)
+    p.add_argument("--noised-start-ratio", type=float, default=None)
+    p.add_argument("--no-last-as-reference", action="store_true")
+    p.add_argument("--out-dir", default="runs/sample")
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_sample)
 
     args = parser.parse_args(argv)
     args.fn(args)
