@@ -139,6 +139,7 @@ def ddim_sample(
     start_pair_index: int = 0,
     post_step_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     guidance_weights: np.ndarray | None = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """DDIM sampling as a single ``lax.scan``.
 
@@ -200,7 +201,7 @@ def ddim_sample(
             x_new = jnp.where(step["time"] > 0, post_step_fn(x_new, step["time"]), x_new)
         return x_new, None
 
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
     return x
 
 

@@ -81,9 +81,11 @@ class AtomInferencePipeline:
         return np.asarray(out[0])
 
     def run_directory(self, identities: dict[str, tuple], out_dir: str,
-                      seed: int = 0, tag: str = "atom") -> dict[str, str]:
+                      seed: int = 0, tag: str = "atom",
+                      save_pngs: bool = False) -> dict[str, str]:
         """identities: {id: (keypoint ndarray, hubert ndarray)} →
-        writes frontalized_npy/{id}/{tag}.npy, returns paths."""
+        writes frontalized_npy/{id}/{tag}.npy (+ optional dot-rendered pngs,
+        ref inference.py:164-177), returns paths."""
         paths = {}
         key = jax.random.PRNGKey(seed)
         for name, (kp, hub) in sorted(identities.items()):
@@ -94,4 +96,27 @@ class AtomInferencePipeline:
             p = os.path.join(d, f"{tag}.npy")
             np.save(p, lm3d)
             paths[name] = p
+            if save_pngs:
+                save_landmark_pngs(lm3d, os.path.join(out_dir, "png", name))
         return paths
+
+
+def save_landmark_pngs(lm3d: np.ndarray, out_dir: str, wh: int = 256):
+    """Dot-render [T,68,3] landmarks to per-frame pngs, reference scaling
+    (× WH/2 + WH/2, y-flip — inference.py:166-177). cv2-free."""
+    from ..data.mtov_dataset import rasterize_landmarks
+
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        return []
+    lm2d = (lm3d[..., :2] * wh / 2 + wh / 2).astype(int)
+    imgs = rasterize_landmarks(lm2d, size=wh, src_wh=wh)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(imgs.shape[0]):
+        frame = 255 - imgs[i, ::-1]  # black dots on white, y-flipped
+        p = os.path.join(out_dir, f"{i:05d}.png")
+        Image.fromarray(frame).save(p)
+        paths.append(p)
+    return paths

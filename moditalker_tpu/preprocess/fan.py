@@ -1,0 +1,233 @@
+"""FAN (Face Alignment Network, 2D-FAN-4) in flax + heatmap decoding.
+
+The reference detects 68 2D landmarks with the ``face_alignment`` package
+(adrianb's FAN — used at ``motion_align/align_face_recon.py:155`` and the
+3DMM batchify preprocessor). This is a flax implementation of the same
+architecture — 4 stacked depth-4 hourglass modules over 256-channel
+ConvBlocks, 68 heatmaps at 64² — with a converter for the public
+``2DFAN4-*.pth`` checkpoint naming, plus the exact sub-pixel heatmap
+decoding (argmax + 0.25 gradient shift + center/scale back-projection).
+
+Face detection (the box prior) stays pluggable: for video the previous
+frame's landmarks give the crop (standard practice); any detector callable
+can seed the first frame.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBlock(nn.Module):
+    """Pre-activation 3-way split block (FAN models.py ConvBlock)."""
+
+    in_planes: int
+    out_planes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       epsilon=1e-5, name=name)
+        o = self.out_planes
+        h1 = nn.Conv(o // 2, (3, 3), padding=1, use_bias=False,
+                     dtype=self.dtype, name="conv1")(
+                         jax.nn.relu(bn("bn1")(x)))
+        h2 = nn.Conv(o // 4, (3, 3), padding=1, use_bias=False,
+                     dtype=self.dtype, name="conv2")(
+                         jax.nn.relu(bn("bn2")(h1)))
+        h3 = nn.Conv(o // 4, (3, 3), padding=1, use_bias=False,
+                     dtype=self.dtype, name="conv3")(
+                         jax.nn.relu(bn("bn3")(h2)))
+        out = jnp.concatenate([h1, h2, h3], axis=-1)
+        if self.in_planes != self.out_planes:
+            res = nn.Conv(o, (1, 1), use_bias=False, dtype=self.dtype,
+                          name="ds_conv")(jax.nn.relu(bn("ds_bn")(x)))
+        else:
+            res = x
+        return out + res
+
+
+class HourGlass(nn.Module):
+    """Recursive depth-4 hourglass (FAN models.py HourGlass)."""
+
+    depth: int = 4
+    features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.features
+
+        def level(x, lv):
+            up1 = ConvBlock(f, f, self.dtype, name=f"b1_{lv}")(x, train)
+            low = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            low = ConvBlock(f, f, self.dtype, name=f"b2_{lv}")(low, train)
+            if lv > 1:
+                low2 = level(low, lv - 1)
+            else:
+                low2 = ConvBlock(f, f, self.dtype,
+                                 name=f"b2_plus_{lv}")(low, train)
+            low3 = ConvBlock(f, f, self.dtype, name=f"b3_{lv}")(low2, train)
+            up2 = jnp.repeat(jnp.repeat(low3, 2, axis=1), 2, axis=2)
+            return up1 + up2
+
+        return level(x, self.depth)
+
+
+class FAN(nn.Module):
+    """input [B, 256, 256, 3] (0..1 RGB) → list of [B, 64, 64, 68]
+    heatmaps, one per stacked module (use the last)."""
+
+    num_modules: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       epsilon=1e-5, name=name)
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    name="conv1")(x)
+        h = jax.nn.relu(bn("bn1")(h))
+        h = ConvBlock(64, 128, self.dtype, name="conv2")(h, train)
+        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        h = ConvBlock(128, 128, self.dtype, name="conv3")(h, train)
+        h = ConvBlock(128, 256, self.dtype, name="conv4")(h, train)
+
+        previous = h
+        outputs = []
+        for i in range(self.num_modules):
+            hg = HourGlass(4, 256, self.dtype, name=f"m{i}")(previous, train)
+            ll = ConvBlock(256, 256, self.dtype, name=f"top_m_{i}")(hg, train)
+            ll = nn.Conv(256, (1, 1), dtype=self.dtype,
+                         name=f"conv_last{i}")(ll)
+            ll = jax.nn.relu(bn(f"bn_end{i}")(ll))
+            tmp_out = nn.Conv(68, (1, 1), dtype=self.dtype, name=f"l{i}")(ll)
+            outputs.append(tmp_out)
+            if i < self.num_modules - 1:
+                ll = nn.Conv(256, (1, 1), dtype=self.dtype,
+                             name=f"bl{i}")(ll)
+                tmp = nn.Conv(256, (1, 1), dtype=self.dtype,
+                              name=f"al{i}")(tmp_out)
+                previous = previous + ll + tmp
+        return outputs
+
+
+# ---------------------------------------------------------------- decoding
+
+def heatmaps_to_landmarks(heatmaps: np.ndarray, center=None,
+                          scale: float | None = None) -> np.ndarray:
+    """[B, H, W, 68] heatmaps → [B, 68, 2] landmark coords.
+
+    face_alignment's get_preds_fromhm: argmax (1-indexed), ±0.25 shift along
+    the local heatmap gradient, then optional center/scale back-projection
+    to the original image (transform() semantics with resolution H)."""
+    b, hh, ww, n = heatmaps.shape
+    hm = heatmaps.transpose(0, 3, 1, 2).reshape(b, n, -1)
+    idx = hm.argmax(axis=-1)
+    xs = (idx % ww).astype(np.float64)
+    ys = (idx // ww).astype(np.float64)
+    # sub-pixel shift
+    for bi in range(b):
+        for ni in range(n):
+            x, y = int(xs[bi, ni]), int(ys[bi, ni])
+            hmap = heatmaps[bi, :, :, ni]
+            if 0 < x < ww - 1:
+                xs[bi, ni] += 0.25 * np.sign(hmap[y, x + 1] - hmap[y, x - 1])
+            if 0 < y < hh - 1:
+                ys[bi, ni] += 0.25 * np.sign(hmap[y + 1, x] - hmap[y - 1, x])
+    pts = np.stack([xs, ys], axis=-1) + 0.5  # pixel centers
+    if center is not None and scale is not None:
+        # map 64² heatmap coords to image coords: crop of size 200*scale
+        # centered at `center` (face_alignment transform())
+        pts = pts / hh * (200.0 * scale)
+        pts = pts + (np.asarray(center, np.float64) - 100.0 * scale)
+    return pts
+
+
+def crop_face(img: np.ndarray, center, scale: float,
+              resolution: int = 256) -> np.ndarray:
+    """Square crop of side 200·scale around center, resized to 256²
+    (bilinear, torch semantics). img [H, W, 3] float 0..255."""
+    from ..data.mtov_dataset import bilinear_resize
+
+    side = int(round(200.0 * scale))
+    cx, cy = int(round(center[0])), int(round(center[1]))
+    x0, y0 = cx - side // 2, cy - side // 2
+    h, w = img.shape[:2]
+    canvas = np.zeros((side, side, 3), np.float32)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1, sy1 = min(x0 + side, w), min(y0 + side, h)
+    canvas[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    return bilinear_resize(canvas[None], resolution, resolution)[0]
+
+
+def bbox_to_center_scale(lm_or_box: np.ndarray) -> tuple[np.ndarray, float]:
+    """Center/scale from prior-frame landmarks ([68,2]) or a box [x0,y0,x1,y1]
+    (face_alignment's convention: scale = box_diag-ish / 195)."""
+    a = np.asarray(lm_or_box, np.float64)
+    if a.ndim == 2:  # landmarks
+        x0, y0 = a.min(axis=0)
+        x1, y1 = a.max(axis=0)
+    else:
+        x0, y0, x1, y1 = a
+    center = np.array([(x0 + x1) / 2.0, (y0 + y1) / 2.0])
+    center[1] -= (y1 - y0) * 0.12
+    scale = (x1 - x0 + y1 - y0) / 195.0
+    return center, scale
+
+
+def convert_fan(sd: dict, num_modules: int = 4) -> dict:
+    """face_alignment 2DFAN4 state_dict → flax params/batch_stats."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(dst_p, name, src):
+        w = sd[f"{src}.weight"]
+        d = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+        if f"{src}.bias" in sd:
+            d["bias"] = sd[f"{src}.bias"]
+        dst_p[name] = d
+
+    def bn(dst_p, dst_s, name, src):
+        dst_p[name] = {"scale": sd[f"{src}.weight"],
+                       "bias": sd[f"{src}.bias"]}
+        dst_s[name] = {"mean": sd[f"{src}.running_mean"],
+                       "var": sd[f"{src}.running_var"]}
+
+    def convblock(dst_p, dst_s, src, has_ds):
+        for i in (1, 2, 3):
+            conv(dst_p, f"conv{i}", f"{src}.conv{i}")
+            bn(dst_p, dst_s, f"bn{i}", f"{src}.bn{i}")
+        if has_ds:
+            bn(dst_p, dst_s, "ds_bn", f"{src}.downsample.0")
+            conv(dst_p, "ds_conv", f"{src}.downsample.2")
+
+    conv(params, "conv1", "conv1")
+    bn(params, stats, "bn1", "bn1")
+    for name, src, ds in [("conv2", "conv2", True), ("conv3", "conv3", False),
+                          ("conv4", "conv4", True)]:
+        params[name], stats[name] = {}, {}
+        convblock(params[name], stats[name], src, ds)
+    for i in range(num_modules):
+        params[f"m{i}"], stats[f"m{i}"] = {}, {}
+        for lv in (4, 3, 2, 1):
+            for blk in (["b1", "b2", "b3"] + (["b2_plus"] if lv == 1 else [])):
+                key = f"{blk}_{lv}"
+                params[f"m{i}"][key], stats[f"m{i}"][key] = {}, {}
+                convblock(params[f"m{i}"][key], stats[f"m{i}"][key],
+                          f"m{i}.{key}", False)
+        params[f"top_m_{i}"], stats[f"top_m_{i}"] = {}, {}
+        convblock(params[f"top_m_{i}"], stats[f"top_m_{i}"],
+                  f"top_m_{i}", False)
+        conv(params, f"conv_last{i}", f"conv_last{i}")
+        bn(params, stats, f"bn_end{i}", f"bn_end{i}")
+        conv(params, f"l{i}", f"l{i}")
+        if i < num_modules - 1:
+            conv(params, f"bl{i}", f"bl{i}")
+            conv(params, f"al{i}", f"al{i}")
+    return {"params": params, "batch_stats": stats}
