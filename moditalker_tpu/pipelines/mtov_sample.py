@@ -70,12 +70,13 @@ class MtovSamplePipeline:
 
         def window_step_noised(ae_rgb, ae_ldmk, unet, gt_video, ldmk_video,
                                masked_video, ref_video, key, ratio):
-            z = self.ae.apply(ae_rgb, gt_video, method=self.ae.extract)
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
-            masked_z = self.ae.apply(ae_rgb, masked_video,
-                                     method=self.ae.extract)
-            image_cond = self.ae.apply(ae_rgb, ref_video,
-                                       method=self.ae.extract)
+            b = gt_video.shape[0]
+            z3 = self.ae.apply(
+                ae_rgb,
+                jnp.concatenate([gt_video, masked_video, ref_video], axis=0),
+                method=self.ae.extract)
+            z, masked_z, image_cond = z3[:b], z3[b : 2 * b], z3[2 * b :]
             cond = jnp.concatenate([z_l, masked_z], axis=1)
             latent = self.ddpm.ddim_sample_noised_start(
                 unet, key, z, cond, image_cond, ratio)
@@ -154,3 +155,42 @@ def write_video(frames: np.ndarray, path: str, fps: int = 25,
         raise RuntimeError(
             f"ffmpeg failed: {proc.stderr.decode()[-500:]}")
     return path
+
+
+def save_gif(frames: np.ndarray, path: str, fps: int = 25) -> str:
+    """uint8 [T, H, W, 3] → animated gif (ref sample.py gif dumps)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(int(1000 / fps), 20), loop=0)
+    return path
+
+
+def save_image_grid(video: np.ndarray, path: str, cols: int = 8) -> str:
+    """uint8 [T, H, W, 3] → one grid png (ref sample.py:56-107)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    t, h, w, c = video.shape
+    rows = (t + cols - 1) // cols
+    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    for i in range(t):
+        r, col = divmod(i, cols)
+        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = video[i]
+    Image.fromarray(grid).save(path)
+    return path
+
+
+def save_frames(video: np.ndarray, out_dir: str) -> list[str]:
+    """uint8 [T, H, W, 3] → per-frame jpgs in the reference layout."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, f in enumerate(video):
+        p = os.path.join(out_dir, f"{i:05d}.jpg")
+        Image.fromarray(f).save(p, quality=95)
+        paths.append(p)
+    return paths
