@@ -62,6 +62,30 @@ class MetricLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
+    def log_image(self, step: int, tag: str, image):
+        """image [H, W, C] uint8/float (ref utils.py image_summary)."""
+        if self._tb is not None:
+            import numpy as np
+
+            img = np.asarray(image)
+            if img.dtype != "uint8":
+                img = (np.clip(img, 0, 1) * 255).astype("uint8")
+            self._tb.add_image(tag, img, int(step), dataformats="HWC")
+
+    def log_video(self, step: int, tag: str, video, fps: int = 25):
+        """video [T, H, W, C] (ref utils.py video_summary :73-78)."""
+        if self._tb is not None:
+            import numpy as np
+
+            v = np.asarray(video)
+            if v.dtype != "uint8":
+                v = (np.clip(v, 0, 1) * 255).astype("uint8")
+            import torch
+
+            self._tb.add_video(
+                tag, torch.tensor(v.transpose(0, 3, 1, 2))[None], int(step),
+                fps=fps)
+
     def close(self):
         self._text.close()
         self._jsonl.close()

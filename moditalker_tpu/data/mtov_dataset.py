@@ -224,16 +224,38 @@ class HDTFFramesDataset:
         return out
 
     def batches(self, batch_size: int, rank: int = 0, num_replicas: int = 1,
-                seed: int = 0):
-        """Infinite stream of collated training batches, float [-1, 1]."""
+                seed: int = 0, skip_bad_items: bool = True):
+        """Infinite stream of collated training batches, float [-1, 1].
+
+        ``skip_bad_items`` reproduces the reference's fault tolerance
+        (corrupt frames / missing landmark files are skipped, matching the
+        blanket except-continue in the preprocessing loops,
+        process_video_3dmm...py:319-321)."""
         sampler = iter(InfiniteSampler(len(self), rank, num_replicas,
                                        seed=seed))
         while True:
-            items = [self[next(sampler)] for _ in range(batch_size)]
+            items = []
+            while len(items) < batch_size:
+                idx = next(sampler)
+                try:
+                    items.append(self[idx])
+                except (OSError, ValueError, IndexError, KeyError) as e:
+                    if not skip_bad_items:
+                        raise
+                    import sys
+
+                    print(f"skipping bad item {idx}: {e}", file=sys.stderr)
             yield {
                 k: to_model_range(np.stack([it[k] for it in items]))
                 for k in ("x_ref", "x", "x_l", "masked_x")
             }
+
+
+def load_holdout_ids(path: str) -> set[str]:
+    """Held-out identity list (ref text_folders/train_id.txt semantics,
+    dataloader.py:81-83: train = identities NOT in this list)."""
+    with open(path) as f:
+        return {line.strip() for line in f if line.strip()}
 
 
 def synthetic_mtov_batch(batch_size: int = 2, timesteps: int = 16,
