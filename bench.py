@@ -118,6 +118,39 @@ def main():
     log(f"steady-state window time {dt:.3f}s")
 
     frames_per_sec = BATCH * ae_cfg.timesteps / dt
+
+    # ---- secondary metric: AToM sequences/sec (DDIM-50, CFG w=2 as one
+    # doubled batch; horizon 156 — BASELINE.md op point)
+    from moditalker_tpu.config import AtomDiffusionConfig, AtomModelConfig
+    from moditalker_tpu.models.atom import AtomDiffusion
+
+    atom_b = max(BATCH, 8)
+    atom = AtomDiffusion.create(AtomModelConfig(), AtomDiffusionConfig(),
+                                dtype=dtype)
+    mc = AtomModelConfig()
+    face = jnp.asarray(rng.normal(size=(atom_b, mc.horizon, 204)),
+                       jnp.float32)
+    cond_a = jnp.asarray(rng.normal(size=(atom_b, mc.horizon * 2, 1024)),
+                         jnp.float32)
+    atom_params = jax.jit(atom.model.init)(
+        key, jnp.zeros((1, mc.horizon, 204)), jnp.zeros((1, mc.horizon, 204)),
+        jnp.zeros((1, mc.horizon * 2, 1024)), jnp.zeros((1,), jnp.int32))
+    atom_params = cast(atom_params)
+
+    atom_sample = jax.jit(lambda p, f, c, k: atom.ddim_sample(
+        p, k, (atom_b, mc.horizon, 204), f, c))
+    out_a = atom_sample(atom_params, face, cond_a, key)
+    np.asarray(out_a[0, 0, :2])
+    t2 = time.perf_counter()
+    x = out_a
+    for i in range(ITERS):
+        # chain: feed previous output back as the identity keypoint
+        x = atom_sample(atom_params, x, cond_a, jax.random.PRNGKey(i))
+    np.asarray(x[0, 0, :2])
+    atom_dt = (time.perf_counter() - t2) / ITERS
+    atom_seqs_per_sec = atom_b / atom_dt
+    log(f"atom {atom_dt:.3f}s / {atom_b} seqs")
+
     print(json.dumps({
         "metric": "mtov_e2e_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 3),
@@ -128,6 +161,8 @@ def main():
             "window_seconds": round(dt, 4),
             "ddim_steps": diff_cfg.sampling_timesteps,
             "resolution": ae_cfg.resolution,
+            "atom_seqs_per_sec": round(atom_seqs_per_sec, 3),
+            "atom_ddim_steps": 50,
             "baseline_note": "vs documented estimate of reference 1×H100 "
                              "eager-torch throughput (no published numbers)",
         },
