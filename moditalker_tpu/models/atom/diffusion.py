@@ -10,7 +10,6 @@ with the temporal-overlap constraint ``x[1:, :half] = x[:-1, half:]``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -184,7 +184,6 @@ class TriplaneUNet(nn.Module):
                   use_scale_shift_norm=cfg.use_scale_shift_norm,
                   dtype=self.dtype)
 
-        in_blocks = []   # list of (kind, ...) specs; modules in parallel lists
         in_res: list = []
         in_attn2d: list = []
         in_joint: list = [None]  # initial conv has no joint attention module

@@ -31,7 +31,9 @@ except ImportError:  # pragma: no cover
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
-    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+    # matmuls stay in the input dtype (bf16 on TPU) with fp32 accumulation —
+    # fp32 MXU matmuls are ~4x slower and were the original kernel's downfall
+    q = q_ref[0]                                      # [BQ, D]
     n = k_ref.shape[1]
     num_kb = n // block_k
 
@@ -42,15 +44,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
 
     def body(kb, carry):
         m_i, l_i, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         m_new = jnp.maximum(m_i, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + p.sum(axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))

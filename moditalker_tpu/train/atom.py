@@ -8,7 +8,6 @@ axis. Gradient reduction is XLA-inserted (no DDP wrapper).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

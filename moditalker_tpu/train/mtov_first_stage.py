@@ -118,11 +118,6 @@ class FirstStageTrainer:
         self._disc_phase = False
 
     # ------------------------------------------------------------ G step
-    def _run_disc(self, module, params, x):
-        out, _ = module.apply(params, x, train=True,
-                              mutable=["batch_stats"])
-        return out
-
     def _make_g_step(self):
         lcfg = self.loss_cfg
 
