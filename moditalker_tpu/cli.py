@@ -219,6 +219,46 @@ def cmd_sample(args):
     print(f"video: {out}")
 
 
+def cmd_convert(args):
+    """torch reference checkpoint → orbax params tree."""
+    import torch
+
+    from .core.checkpoint import save_single
+    from .utils import torch_port
+
+    raw = torch.load(args.torch_ckpt, map_location="cpu",
+                     weights_only=False)
+    # AToM checkpoints wrap the state_dict (AToM/AToM.py:188-192)
+    if isinstance(raw, dict) and "ema_state_dict" in raw:
+        raw = raw["ema_state_dict" if args.ema else "model_state_dict"]
+    sd = {k.replace("module.", ""): v.detach().numpy()
+          for k, v in raw.items()}
+    converters = {
+        "atom": torch_port.convert_atom_decoder,
+        "vit-autoencoder": torch_port.convert_vit_autoencoder,
+        "triplane-unet": torch_port.convert_triplane_unet,
+        "recon-resnet50": None,
+        "i3d": None,
+        "hubert": None,
+        "fan": None,
+    }
+    if args.kind == "recon-resnet50":
+        from .preprocess.recon_net import convert_recon_net as fn
+    elif args.kind == "i3d":
+        from .evals.i3d import convert_i3d as fn
+    elif args.kind == "hubert":
+        from .preprocess.hubert import HubertConfig, convert_hubert
+
+        fn = lambda s: convert_hubert(s, HubertConfig())
+    elif args.kind == "fan":
+        from .preprocess.fan import convert_fan as fn
+    else:
+        fn = converters[args.kind]
+    tree = fn(sd)
+    save_single(args.out, tree)
+    print(f"converted {args.kind}: {args.out}")
+
+
 def _save_state(state, out_dir, name):
     from .core.checkpoint import host_tree, save_single
     import os
@@ -281,6 +321,16 @@ def main(argv=None):
     p.add_argument("--out-dir", default="runs/sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("convert-checkpoint")
+    p.add_argument("--torch-ckpt", required=True)
+    p.add_argument("--kind", required=True,
+                   choices=["atom", "vit-autoencoder", "triplane-unet",
+                            "recon-resnet50", "i3d", "hubert", "fan"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--ema", action="store_true",
+                   help="for atom ckpts: take ema_state_dict")
+    p.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
     args.fn(args)
