@@ -215,10 +215,17 @@ def ddim_sample_noised_start(
     eta: float = 1.0,
     parameterization: str = "eps",
     clip_denoised: bool = True,
+    fixed_noise_key: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Partial-renoise DDIM: q_sample a known latent to t = T*ratio, denoise
-    the tail of the schedule (ref ddpm.py:407-454, used for fast AR video)."""
+    the tail of the schedule (ref ddpm.py:407-454, used for fast AR video).
+
+    ``fixed_noise_key`` pins the renoising draw to a caller-held key — the
+    determinism pin the reference implements with ``torch.manual_seed(1004)``
+    (ddpm.py:424-427, ``fixed_noise=True``)."""
     key, k_noise = jax.random.split(key)
+    if fixed_noise_key is not None:
+        k_noise = fixed_noise_key
     t0 = int(sched.num_timesteps * ratio)
     t_vec = jnp.full((x_start.shape[0],), t0, dtype=jnp.int32)
     noise = jax.random.normal(k_noise, x_start.shape, dtype=x_start.dtype)

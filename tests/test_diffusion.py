@@ -129,3 +129,34 @@ def test_p_sample_loop_runs():
     )
     assert out.shape == (2, 4, 8)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_noised_start_tail_slice_matches_reference_formula():
+    """The tail pair-slice must equal the reference's
+    time_pairs[int(len * (1 - ratio)):] (ddpm.py:430)."""
+    from moditalker_tpu.core.schedules import ddim_time_pairs
+
+    for steps, ratio in [(100, 0.25), (100, 0.5), (50, 0.3)]:
+        times, times_next = ddim_time_pairs(1000, steps)
+        pairs = list(zip(times.tolist(), times_next.tolist()))
+        expected_tail = pairs[int(len(pairs) * (1 - ratio)):]
+        start = int(steps * (1 - ratio))
+        got_tail = pairs[start:]
+        assert got_tail == expected_tail
+
+
+def test_noised_start_fixed_noise_deterministic():
+    sched = schedules.make_schedule("linear", 100, 0.0015, 0.0195)
+
+    def model_fn(x, t):
+        return jnp.zeros_like(x)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16))
+    fixed = jax.random.PRNGKey(1004)
+    a = diffusion.ddim_sample_noised_start(
+        sched, model_fn, x0, jax.random.PRNGKey(1), 10, 0.5,
+        eta=0.0, fixed_noise_key=fixed)
+    b = diffusion.ddim_sample_noised_start(
+        sched, model_fn, x0, jax.random.PRNGKey(2), 10, 0.5,
+        eta=0.0, fixed_noise_key=fixed)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
