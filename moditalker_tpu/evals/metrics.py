@@ -43,3 +43,15 @@ def ae_reconstruction_eval(ae_apply, batches, max_batches: int = 100) -> float:
         recon = np.asarray(ae_apply(video))
         vals.append(video_psnr(video, recon))
     return float(np.mean(vals))
+
+
+def mouth_landmark_l2(pred: np.ndarray, target: np.ndarray) -> float:
+    """M-LMD: mean mouth-landmark (48:68) distance — the paper's lip-sync
+    proxy metric (landmarks [.., 68, 2or3])."""
+    return landmark_l2(np.asarray(pred)[..., 48:68, :],
+                       np.asarray(target)[..., 48:68, :])
+
+
+def face_landmark_l2(pred: np.ndarray, target: np.ndarray) -> float:
+    """F-LMD: mean full-face landmark distance."""
+    return landmark_l2(pred, target)

@@ -112,3 +112,59 @@ class MtovDiffusionTrainer:
             {k: v for k, v in batch.items()}, self.mesh)
         self.state, metrics = self.train_step(self.state, dev, sub)
         return metrics
+
+
+def extract_latents(ae, ae_rgb_params, ae_ldmk_params, batch):
+    """Frozen-AE latent extraction for the diffusion trainer — the
+    reference does this under no_grad each step (trainer.py:88-96).
+    batch: {'x','x_l','masked_x','x_ref'} videos [B,T,H,W,3] in [-1,1] →
+    {'z','cond','image_cond'}."""
+    import jax.numpy as jnp
+
+    z = ae.apply(ae_rgb_params, batch["x"], method=ae.extract)
+    z_l = ae.apply(ae_ldmk_params, batch["x_l"], method=ae.extract)
+    masked_z = ae.apply(ae_rgb_params, batch["masked_x"], method=ae.extract)
+    image_cond = ae.apply(ae_rgb_params, batch["x_ref"], method=ae.extract)
+    return {"z": z, "cond": jnp.concatenate([z_l, masked_z], axis=1),
+            "image_cond": image_cond}
+
+
+class LatentDiffusionLoop:
+    """Full second-stage loop: frozen AEs → latents → DDPM step, with the
+    reference's EMA-save cadence (trainer.py:122-124: EMA ckpt every
+    1000 it)."""
+
+    def __init__(self, trainer: MtovDiffusionTrainer, ae, ae_rgb_params,
+                 ae_ldmk_params):
+        import jax
+
+        self.trainer = trainer
+        self.ae = ae
+        self._extract = jax.jit(
+            lambda pr, pl, b: extract_latents(ae, pr, pl, b))
+        self.ae_rgb_params = ae_rgb_params
+        self.ae_ldmk_params = ae_ldmk_params
+
+    def fit(self, batches, max_steps: int, logger=None, ckpt_manager=None,
+            ckpt_every: int = 1000, log_every: int = 50):
+        it = 0
+        for batch in batches:
+            latents = self._extract(self.ae_rgb_params, self.ae_ldmk_params,
+                                    batch)
+            metrics = self.trainer.step(
+                {k: __import__("numpy").asarray(v)
+                 for k, v in latents.items()})
+            it += 1
+            if logger is not None and it % log_every == 0:
+                logger.log_scalars(it, {k: float(v)
+                                        for k, v in metrics.items()})
+            if ckpt_manager is not None and it % ckpt_every == 0:
+                from ..core.checkpoint import host_tree
+
+                # reference saves EMA weights only at this cadence
+                ckpt_manager.save(
+                    it, host_tree({"ema_params": self.trainer.state.ema_params,
+                                   "step": self.trainer.state.step}))
+            if it >= max_steps:
+                break
+        return self.trainer.state

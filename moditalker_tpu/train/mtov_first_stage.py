@@ -225,3 +225,26 @@ class FirstStageTrainer:
             self._disc_phase = not self._disc_phase
         self._it += 1
         return metrics
+
+    def fit(self, batches, max_steps: int, logger=None, ckpt_manager=None,
+            eval_every: int = 2000, eval_fn=None, log_every: int = 50):
+        """Training loop with the reference's probe/checkpoint cadence
+        (trainer.py:232-257: PSNR/rFVD probes + full state save every
+        2000 iters). ``batches`` yields dicts with 'x' (or 'x_l')."""
+        for batch in batches:
+            video = batch["x_l" if self.freeze_decoder else "x"]
+            metrics = self.step(video)
+            it = self._it
+            if logger is not None and it % log_every == 0:
+                logger.log_scalars(it, {k: float(v)
+                                        for k, v in metrics.items()})
+            if it % eval_every == 0 and it > 0:
+                if eval_fn is not None and logger is not None:
+                    logger.log_scalars(it, eval_fn(self))
+                if ckpt_manager is not None:
+                    from ..core.checkpoint import host_tree
+
+                    ckpt_manager.save(it, host_tree(self.state._asdict()))
+            if it >= max_steps:
+                break
+        return self.state

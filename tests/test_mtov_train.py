@@ -93,3 +93,45 @@ def test_diffusion_trainer_loss_drops():
     # require no divergence and that the optimizer actually moved params
     assert np.mean(losses[-4:]) < 2.0 * np.mean(losses[:4])
     assert int(trainer.state.step) == 12
+
+
+def test_latent_diffusion_loop_with_frozen_aes():
+    """Full second-stage path: frozen AEs extract latents, DDPM trains."""
+    import jax
+    from moditalker_tpu.models.mtov import ViTAutoencoder
+    from moditalker_tpu.train.mtov import LatentDiffusionLoop
+
+    ae = ViTAutoencoder(AE_TINY)
+    v = jnp.zeros((1, 4, 32, 32, 3))
+    ae_params = jax.jit(ae.init)(jax.random.PRNGKey(0), v)
+    trainer = MtovDiffusionTrainer(
+        UNET_TINY, DIFF_TINY, TRAIN, latent_len=AE_TINY.latent_len)
+    loop = LatentDiffusionLoop(trainer, ae, ae_params, ae_params)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {k: rng.uniform(-1, 1, (8, 4, 32, 32, 3)).astype(np.float32)
+                   for k in ("x", "x_l", "masked_x", "x_ref")}
+
+    state = loop.fit(batches(), max_steps=3)
+    assert int(state.step) == 3
+
+
+def test_unet_longvid_config_tiny_remat():
+    """base_longvid variant (wider channels) + remat compiles and runs."""
+    import jax
+    from moditalker_tpu.models.mtov import TriplaneUNet
+
+    cfg = MtovUNetConfig(model_channels=64, num_res_blocks=1,
+                         channel_mult=(1, 2), attention_resolutions=(1, 2),
+                         num_heads=2, latent_res=4, latent_t=4)
+    L = cfg.latent_res**2 + 2 * cfg.latent_t * cfg.latent_res
+    m = TriplaneUNet(cfg, remat=True)
+    x = jnp.zeros((1, 4, L))
+    p = jax.jit(m.init)(jax.random.PRNGKey(0), x, jnp.zeros((1, 8, L)),
+                        jnp.zeros((1, 4, L)), jnp.zeros((1,), jnp.int32))
+    out = m.apply(p, x, jnp.zeros((1, 8, L)), jnp.zeros((1, 4, L)),
+                  jnp.zeros((1,), jnp.int32))
+    assert out.shape == x.shape
