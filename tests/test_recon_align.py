@@ -112,3 +112,32 @@ def test_motion_aligner_writes_layout(tmp_path):
     arr = np.load(paths[0])
     assert arr.shape == (68, 2) and arr.dtype == np.int64
     assert "aligned_npy/WDA_Test" in paths[0].replace("\\", "/")
+
+
+def test_reconstructor_pipeline(tmp_path):
+    """Images + landmarks → coeffs with crop params, end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.preprocess.reconstructor import Reconstructor
+
+    rng = np.random.default_rng(0)
+    model = ReconNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 224, 224, 3)))
+    recon = Reconstructor(params, rng.normal(size=(5, 3)))
+    frames = rng.integers(0, 255, (3, 300, 280, 3)).astype(np.uint8)
+    lm68 = rng.uniform(60, 220, (3, 68, 2))
+    coeff, trans_params = recon.recon_coeff(frames, lm68)
+    assert coeff.shape == (3, 257)
+    assert len(trans_params) == 3
+    assert "s" in trans_params[0] and "t" in trans_params[0]
+    coeff2, crops, _ = recon.recon_coeff(frames, lm68, return_image=True)
+    assert crops.shape == (3, 224, 224, 3)
+    np.testing.assert_allclose(coeff, coeff2)
+
+    # as a MotionAligner coeff_fn
+    from moditalker_tpu.preprocess import align
+    fn = recon.coeff_fn()
+    out = fn(frames, align.lm68_to_lm5(lm68))
+    assert out.shape == (3, 257)
