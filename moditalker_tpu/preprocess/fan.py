@@ -231,3 +231,50 @@ def convert_fan(sd: dict, num_modules: int = 4) -> dict:
             conv(params, f"bl{i}", f"bl{i}")
             conv(params, f"al{i}", f"al{i}")
     return {"params": params, "batch_stats": stats}
+
+
+class FanLandmarker:
+    """Video landmark tracker: FAN heatmaps + crop tracking.
+
+    The production ``landmark_fn`` for ``MotionAligner``/``keypoints``: for
+    each frame the crop is derived from the PREVIOUS frame's landmarks
+    (standard video tracking — avoids running a face detector per frame);
+    the first frame's crop comes from ``initial_box`` ([x0,y0,x1,y1]) or an
+    optional ``detector_fn(frame) -> box``.
+    """
+
+    def __init__(self, fan_params, num_modules: int = 4,
+                 initial_box=None, detector_fn=None):
+        import jax
+
+        self.model = FAN(num_modules=num_modules)
+        self.params = fan_params
+        self.initial_box = initial_box
+        self.detector_fn = detector_fn
+        self._apply = jax.jit(
+            lambda p, x: self.model.apply(p, x)[-1])
+
+    def landmarks_for_frame(self, frame_u8: np.ndarray,
+                            prior) -> np.ndarray:
+        center, scale = bbox_to_center_scale(prior)
+        crop = crop_face(frame_u8.astype(np.float32), center, scale) / 255.0
+        import jax.numpy as jnp
+
+        hm = np.asarray(self._apply(self.params, jnp.asarray(crop[None])))
+        return heatmaps_to_landmarks(hm, center=center, scale=scale)[0]
+
+    def __call__(self, frames_u8: np.ndarray) -> np.ndarray:
+        """[T, H, W, 3] uint8 → [T, 68, 2] image-space landmarks."""
+        t, h, w = frames_u8.shape[:3]
+        if self.initial_box is not None:
+            prior = np.asarray(self.initial_box, np.float64)
+        elif self.detector_fn is not None:
+            prior = np.asarray(self.detector_fn(frames_u8[0]), np.float64)
+        else:
+            # whole-frame prior (center crop) when no detector is available
+            prior = np.array([w * 0.2, h * 0.2, w * 0.8, h * 0.8])
+        out = np.empty((t, 68, 2), np.float64)
+        for i in range(t):
+            out[i] = self.landmarks_for_frame(frames_u8[i], prior)
+            prior = out[i]  # track
+        return out

@@ -112,3 +112,17 @@ def test_convert_fan_structure():
     assert paths(tree["params"]) == paths(ref_params["params"])
     out = model.apply(tree, x)
     assert out[0].shape == (1, 16, 16, 68)
+
+
+def test_fan_landmarker_tracks(tmp_path):
+    from moditalker_tpu.preprocess.fan import FAN, FanLandmarker
+
+    model = fan.FAN(num_modules=1)
+    x = jnp.zeros((1, 256, 256, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tracker = FanLandmarker(params, num_modules=1)
+    frames = (np.random.default_rng(0).uniform(0, 255, (2, 128, 128, 3))
+              .astype(np.uint8))
+    lm = tracker(frames)
+    assert lm.shape == (2, 68, 2)
+    assert np.isfinite(lm).all()
