@@ -163,6 +163,25 @@ class AtomDiffusion:
             start_point=start_point, x_init=x_init,
             post_step_fn=post_step_fn)
 
+    def inpaint_loop(self, params, key, shape, face, cond, mask, value,
+                     start_point: int | None = None):
+        """Masked inpainting: after every ancestral step, clamp the masked
+        region to q_sample(value, t-1) (ref diffusion.py:303-340).
+        ``mask``/``value``: [B, horizon, repr] (mask 1 = keep value)."""
+        key, k_q = jax.random.split(key)
+
+        def constraint(x, t):
+            noise = jax.random.fold_in(k_q, 0)  # static key; per-t noise via t
+            n = jax.random.normal(jax.random.fold_in(k_q, 1), x.shape, x.dtype)
+            t_vec = jnp.maximum(
+                jnp.full((x.shape[0],), t - 1, dtype=jnp.int32), 0)
+            value_t = dcore.q_sample(self.sched, value, t_vec, n)
+            return value_t * mask + (1.0 - mask) * x
+
+        return self.p_sample_loop(params, key, shape, face, cond,
+                                  start_point=start_point,
+                                  post_step_fn=constraint)
+
     def long_inpaint_loop(self, params, key, shape, face, cond,
                           start_point: int | None = None):
         """Batched chunked ancestral sampling with the overlap constraint

@@ -116,13 +116,26 @@ class MtovDDPM:
             clip_denoised=self.cfg.clip_denoised,
         )
 
+    def p_sample_loop(self, params, key, shape, cond, image_cond):
+        """Full ancestral sampling — the reference's non-DDIM branch
+        (ddpm.py:319-336, used when sampling_timesteps == timesteps)."""
+        return dcore.p_sample_loop(
+            self.sched,
+            self._model_fn(params, cond, image_cond),
+            shape, key,
+            parameterization=self.cfg.parameterization,
+            clip_denoised=self.cfg.clip_denoised)
+
     def sample(self, params, key, batch_size, cond, image_cond,
                noised_start=None, ratio=None, latent_len: int = 2048,
                channels: int = 4):
         """Dispatcher with the reference's ``sample`` semantics
-        (ddpm.py:456-484)."""
+        (ddpm.py:456-484): DDIM when sampling_timesteps < timesteps, else
+        ancestral; optional partial-renoise fast start."""
+        shape = (batch_size, channels, latent_len)
+        if self.cfg.sampling_timesteps >= self.cfg.timesteps:
+            return self.p_sample_loop(params, key, shape, cond, image_cond)
         if noised_start is not None:
             return self.ddim_sample_noised_start(
                 params, key, noised_start, cond, image_cond, ratio)
-        shape = (batch_size, channels, latent_len)
         return self.ddim_sample(params, key, shape, cond, image_cond)

