@@ -22,7 +22,6 @@ training without the HDTF/LRS3 corpora), and ``--steps`` to bound the run.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 import numpy as np

@@ -18,8 +18,6 @@ Videos here are [B, T, H, W, 3] channels-last in [-1, 1].
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -150,6 +148,7 @@ class PatchDiscriminator3D(nn.Module):
         h = nn.BatchNorm(use_running_average=not train,
                          name=f"bn_{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
+        feats.append(h)
         logits = nn.Conv(1, (4, 4, 4), strides=(1, 1, 1), padding=2,
                          dtype=self.dtype, name="conv_out")(h)
         feats.append(logits)

@@ -22,8 +22,6 @@ Latent layout matches the reference byte-for-byte:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

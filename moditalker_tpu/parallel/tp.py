@@ -20,10 +20,9 @@ both on the 8-device virtual mesh).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.sharding import DATA_AXIS
 from ..ops.attention import sdpa

@@ -14,7 +14,6 @@ the data mesh — the reference samples one identity at a time on one GPU.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
