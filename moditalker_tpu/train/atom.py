@@ -116,9 +116,16 @@ class AtomTrainer:
         epochs = epochs if epochs is not None else self.train_cfg.epochs
         it = 0
         for epoch in range(1, epochs + 1):
-            for batch in dataset.iter_epoch(self.train_cfg.batch_size,
-                                            seed=epoch):
-                metrics = self.step(batch)
+            host_batches = (
+                dict(zip(("residual", "face", "cond"),
+                         training_arrays(b, self.model_cfg.horizon)))
+                for b in dataset.iter_epoch(self.train_cfg.batch_size,
+                                            seed=epoch))
+            for dev_batch in shard_lib.device_prefetch(host_batches,
+                                                       self.mesh):
+                self._key, sub = jax.random.split(self._key)
+                self.state, metrics = self.train_step(self.state, dev_batch,
+                                                      sub)
                 it += 1
                 if logger is not None and it % log_every == 0:
                     logger.log_scalars(

@@ -135,7 +135,8 @@ class FirstStageTrainer:
                 p_loss = lcfg.perceptual_weight * self.lpips.apply(
                     state.lpips_params, in_2d, re_2d).mean()
 
-                disc_factor = adopt_weight(state.step // 3, lcfg.disc_start)
+                disc_factor = adopt_weight(state.step // self.train_cfg.accum_iter,
+                                          lcfg.disc_start)
                 (lf2, pf2), _ = self.disc2d.apply(
                     state.disc2d, re_2d, train=True, mutable=["batch_stats"])
                 (lf3, pf3), _ = self.disc3d.apply(
@@ -193,7 +194,8 @@ class FirstStageTrainer:
                 (lf3, _), _ = self.disc3d.apply(
                     disc_params["d3"], recon, train=True,
                     mutable=["batch_stats"])
-                disc_factor = adopt_weight(state.step // 3, lcfg.disc_start)
+                disc_factor = adopt_weight(state.step // self.train_cfg.accum_iter,
+                                          lcfg.disc_start)
                 return disc_factor * lcfg.disc_weight * (
                     hinge_d_loss(lr2, lf2) + hinge_d_loss(lr3, lf3))
 

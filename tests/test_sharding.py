@@ -42,3 +42,14 @@ def test_grad_psum_equivalence():
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5, atol=1e-6
     )
+
+
+def test_device_prefetch_yields_all():
+    mesh = sharding.make_mesh()
+    batches = [{"x": np.full((8, 2), float(i), np.float32)}
+               for i in range(5)]
+    out = list(sharding.device_prefetch(iter(batches), mesh, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(jnp.mean(b["x"])) == float(i)
+        assert b["x"].sharding.spec == P("data")
