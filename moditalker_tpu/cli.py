@@ -22,6 +22,8 @@ training without the HDTF/LRS3 corpora), and ``--steps`` to bound the run.
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import os
 import sys
 
 import numpy as np
@@ -34,17 +36,32 @@ def _add_common(p):
     p.add_argument("--data-root", type=str, default=None)
     p.add_argument("--out-dir", type=str, default="runs")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config (native or reference MToV format, "
+                        "ref main.py:65-78)")
+
+
+def _cfg(args):
+    """Resolved Config: defaults overlaid with --config if given."""
+    from .config import Config, load_config
+
+    if getattr(args, "config", None):
+        return load_config(args.config)
+    return Config()
 
 
 def cmd_train_atom(args):
-    from .config import AtomModelConfig, AtomTrainConfig
     from .data.atom_dataset import AtomSequenceDataset, synthetic_batch
     from .train.atom import AtomTrainer
 
-    tc = AtomTrainConfig(batch_size=args.batch_size or 64, seed=args.seed)
-    trainer = AtomTrainer(train_cfg=tc)
+    cfg = _cfg(args)
+    tc = dataclasses.replace(
+        cfg.atom_train,
+        batch_size=args.batch_size or cfg.atom_train.batch_size,
+        seed=args.seed)
+    trainer = AtomTrainer(cfg.atom_model, cfg.atom_diffusion, train_cfg=tc)
     if args.synthetic or args.data_root is None:
-        batch = synthetic_batch(tc.batch_size, AtomModelConfig().horizon,
+        batch = synthetic_batch(tc.batch_size, cfg.atom_model.horizon,
                                 seed=args.seed)
         for i in range(args.steps):
             m = trainer.step(batch)
@@ -64,19 +81,26 @@ def cmd_train_atom(args):
 
 
 def cmd_train_first_stage(args):
-    from .config import MtovAEConfig, MtovLossConfig, MtovTrainConfig
     from .data.mtov_dataset import HDTFFramesDataset, synthetic_mtov_batch
     from .train.mtov_first_stage import FirstStageTrainer
 
-    tc = MtovTrainConfig(batch_size=args.batch_size or 1, seed=args.seed)
+    cfg = _cfg(args)
+    tc = dataclasses.replace(
+        cfg.mtov_train,
+        batch_size=args.batch_size or cfg.mtov_train.batch_size,
+        seed=args.seed)
     trainer = FirstStageTrainer(
-        MtovAEConfig(), MtovLossConfig(), tc,
+        cfg.mtov_ae, cfg.mtov_loss, tc,
         freeze_decoder=args.landmark)
     if args.synthetic or args.data_root is None:
-        batch = synthetic_mtov_batch(tc.batch_size, seed=args.seed)
+        batch = synthetic_mtov_batch(
+            tc.batch_size, resolution=cfg.mtov_ae.resolution,
+            timesteps=cfg.mtov_ae.timesteps, seed=args.seed)
         src = iter(lambda: batch, None)
     else:
-        ds = HDTFFramesDataset(args.data_root, args.kpt_root)
+        ds = HDTFFramesDataset(args.data_root, args.kpt_root,
+                               resolution=cfg.mtov_ae.resolution,
+                               nframes=cfg.mtov_ae.timesteps)
         src = ds.batches(tc.batch_size, seed=args.seed)
     for i, b in enumerate(src):
         key = "x_l" if args.landmark else "x"
@@ -91,17 +115,20 @@ def cmd_train_first_stage(args):
 
 
 def cmd_train_diffusion(args):
-    from .config import MtovTrainConfig
     from .train.mtov import MtovDiffusionTrainer
 
-    tc = MtovTrainConfig(seed=args.seed)
-    trainer = MtovDiffusionTrainer(train_cfg=tc)
+    cfg = _cfg(args)
+    tc = dataclasses.replace(cfg.mtov_train, seed=args.seed)
+    uc = cfg.mtov_unet
+    L = uc.latent_res**2 + 2 * uc.latent_t * uc.latent_res
+    trainer = MtovDiffusionTrainer(uc, cfg.mtov_diffusion, train_cfg=tc,
+                                   latent_len=L)
     rng = np.random.default_rng(args.seed)
     b = args.batch_size or tc.diffusion_batch_size
     batch = {
-        "z": np.tanh(rng.normal(size=(b, 4, 2048))).astype(np.float32),
-        "cond": rng.normal(size=(b, 8, 2048)).astype(np.float32),
-        "image_cond": rng.normal(size=(b, 4, 2048)).astype(np.float32),
+        "z": np.tanh(rng.normal(size=(b, 4, L))).astype(np.float32),
+        "cond": rng.normal(size=(b, 8, L)).astype(np.float32),
+        "image_cond": rng.normal(size=(b, 4, L)).astype(np.float32),
     }
     for i in range(args.steps):
         m = trainer.step(batch)
@@ -110,17 +137,42 @@ def cmd_train_diffusion(args):
     _save_state(trainer.state, args.out_dir, "diffusion")
 
 
+def _read_wav(path: str) -> np.ndarray:
+    """Mono float32 waveform from a wav file. soundfile when present,
+    stdlib ``wave`` otherwise (this image ships no soundfile)."""
+    try:
+        import soundfile as sf  # type: ignore
+
+        speech, _ = sf.read(path)
+    except ImportError:
+        import wave
+
+        with wave.open(path, "rb") as w:
+            n, width = w.getnframes(), w.getsampwidth()
+            raw = w.readframes(n)
+            dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+            speech = np.frombuffer(raw, dt).astype(np.float32)
+            if width == 1:
+                speech = (speech - 128.0) / 128.0
+            else:
+                speech = speech / float(np.iinfo(dt).max)
+            if w.getnchannels() > 1:
+                speech = speech.reshape(-1, w.getnchannels())
+    if speech.ndim > 1:
+        speech = speech.mean(axis=1)
+    return speech.astype(np.float32)
+
+
 def cmd_process_audio(args):
     from .preprocess.audio import (extract_hubert_features,
                                    ffmpeg_resample_to_16k,
                                    normalize_like_wav2vec2,
                                    torch_hubert_forward)
-    import soundfile as sf  # type: ignore
 
     wav16 = args.audio
     if args.resample:
         wav16 = ffmpeg_resample_to_16k(args.audio, args.audio + ".16k.wav")
-    speech, _ = sf.read(wav16)
+    speech = _read_wav(wav16)
     model_fn = torch_hubert_forward(device="cpu")
     feats = extract_hubert_features(normalize_like_wav2vec2(speech), model_fn)
     np.save(args.out, feats)
@@ -130,31 +182,34 @@ def cmd_process_audio(args):
 def cmd_atom_infer(args):
     import jax
 
-    from .config import AtomDiffusionConfig, AtomModelConfig
     from .core.checkpoint import load_single
     from .pipelines.atom_infer import AtomInferencePipeline
     from .preprocess.bfm import Face3DHelper
 
-    mc = AtomModelConfig()
+    cfg = _cfg(args)
+    mc = cfg.atom_model
     if args.checkpoint:
-        tpl = None
-        state = load_single(args.checkpoint, tpl)
-        params = state.get("ema_params", state.get("params"))
+        state = load_single(args.checkpoint)
+        if isinstance(state, dict) and (
+                "ema_params" in state or "params" in state):
+            params = state.get("ema_params") or state.get("params")
+        else:
+            params = state
     else:
         from .models.atom import MotionDecoder
         import jax.numpy as jnp
 
         m = MotionDecoder(mc)
         params = jax.jit(m.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, mc.horizon, 204)),
-            jnp.zeros((1, mc.horizon, 204)),
-            jnp.zeros((1, mc.horizon * 2, 1024)),
+            jax.random.PRNGKey(0), jnp.zeros((1, mc.horizon, mc.repr_dim)),
+            jnp.zeros((1, mc.horizon, mc.repr_dim)),
+            jnp.zeros((1, mc.horizon * 2, mc.cond_feature_dim)),
             jnp.zeros((1,), "int32"))
         print("WARNING: no checkpoint given — random weights", file=sys.stderr)
 
     face3d = (Face3DHelper.from_bfm(args.bfm_dir) if args.bfm_dir
               else Face3DHelper.synthetic())
-    pipe = AtomInferencePipeline(params, mc, AtomDiffusionConfig(),
+    pipe = AtomInferencePipeline(params, mc, cfg.atom_diffusion,
                                  face3d=face3d)
     identities = {}
     for name in sorted(os.listdir(args.keypoint_dir)):
@@ -170,15 +225,19 @@ def cmd_sample(args):
     import jax
     import jax.numpy as jnp
 
-    from .config import (MtovAEConfig, MtovDiffusionConfig, MtovUNetConfig)
     from .data.mtov_dataset import SequentialWindowDataset
     from .models.mtov import MtovDDPM, ViTAutoencoder
     from .pipelines.mtov_sample import MtovSamplePipeline, write_video
 
-    ae_cfg = MtovAEConfig()
-    unet_cfg = MtovUNetConfig()
-    diff_cfg = MtovDiffusionConfig(
-        sampling_timesteps=args.sampling_steps, w=0.0)
+    cfg = _cfg(args)
+    ae_cfg = cfg.mtov_ae
+    unet_cfg = dataclasses.replace(
+        cfg.mtov_unet, latent_res=ae_cfg.latent_res,
+        latent_t=ae_cfg.timesteps // ae_cfg.splits)
+    diff_cfg = cfg.mtov_diffusion
+    if args.sampling_steps is not None:
+        diff_cfg = dataclasses.replace(
+            diff_cfg, sampling_timesteps=args.sampling_steps)
 
     def _load(path, init_fn):
         from .core.checkpoint import load_single
@@ -260,7 +319,6 @@ def cmd_convert(args):
 
 def _save_state(state, out_dir, name):
     from .core.checkpoint import host_tree, save_single
-    import os
 
     path = os.path.join(out_dir, name)
     try:
@@ -297,6 +355,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_process_audio)
 
     p = sub.add_parser("atom-infer")
+    p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--keypoint-dir", required=True,
                    help="keypoints/face-centric/unposed root")
@@ -307,6 +366,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_atom_infer)
 
     p = sub.add_parser("sample")
+    p.add_argument("--config", type=str, default=None)
     p.add_argument("--frames-dir", required=True)
     p.add_argument("--aligned-dir", required=True,
                    help="aligned_npy/{id} dir (cross-ID: another identity's)")
@@ -314,7 +374,8 @@ def main(argv=None):
     p.add_argument("--ae-ldmk", default=None)
     p.add_argument("--diffusion-model", default=None)
     p.add_argument("--audio", default=None)
-    p.add_argument("--sampling-steps", type=int, default=100)
+    p.add_argument("--sampling-steps", type=int, default=None,
+                   help="DDIM steps (default: config value, ref 100)")
     p.add_argument("--noised-start-ratio", type=float, default=None)
     p.add_argument("--no-last-as-reference", action="store_true")
     p.add_argument("--out-dir", default="runs/sample")

@@ -160,6 +160,7 @@ class MtovTrainConfig:
     ema_interval: int = 25
     warmup_steps: int = 10000
     seed: int = 42
+    resume: bool = False          # ref configs/autoencoder/base_gan.yaml
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,3 +181,119 @@ def longvid_config() -> Config:
     return dataclasses.replace(
         cfg, mtov_unet=dataclasses.replace(cfg.mtov_unet, model_channels=256)
     )
+
+
+# --------------------------------------------------------------- YAML layer
+#
+# Two accepted file formats:
+#   native  — top-level keys are Config field names, values are field
+#             override dicts (see configs/*.yaml in this repo);
+#   reference — the upstream OmegaConf layout (``model: {params: ...}``,
+#             MToV/configs/**.yaml), so a user's existing config files load
+#             unchanged (ref main.py:65-78 merges them onto argparse args).
+
+
+def _coerce(dc_cls, name: str, value):
+    """Match YAML scalars/lists to the dataclass field's shape."""
+    field = {f.name: f for f in dataclasses.fields(dc_cls)}.get(name)
+    if field is None:
+        raise KeyError(
+            f"unknown config field {dc_cls.__name__}.{name}")
+    if isinstance(value, list):
+        return tuple(value)
+    return value
+
+
+def _overlay(dc, updates: dict):
+    """dataclasses.replace with per-field coercion + typo detection."""
+    kw = {k: _coerce(type(dc), k, v) for k, v in updates.items()}
+    return dataclasses.replace(dc, **kw)
+
+
+def config_from_dict(data: dict, base: Config | None = None) -> Config:
+    """Native-format dict → Config (unknown sections/fields raise)."""
+    cfg = base or Config()
+    sections = {f.name: f for f in dataclasses.fields(Config)}
+    kw = {}
+    for key, updates in data.items():
+        if key not in sections:
+            raise KeyError(
+                f"unknown config section {key!r}; "
+                f"expected one of {sorted(sections)}")
+        kw[key] = _overlay(getattr(cfg, key), dict(updates or {}))
+    return dataclasses.replace(cfg, **kw)
+
+
+def config_from_reference_dict(data: dict,
+                               base: Config | None = None) -> Config:
+    """Upstream MToV YAML layout → Config.
+
+    Autoencoder files (``model.params.ddconfig``, ref
+    configs/autoencoder/base*.yaml) map onto ``mtov_ae`` / ``mtov_loss``;
+    latent-diffusion files (``model.params.unet_config``, ref
+    configs/latent-diffusion/base*.yaml) onto ``mtov_unet`` /
+    ``mtov_diffusion``. ``loss_type`` in the LDM yaml is deliberately
+    ignored: the reference never plumbs it into the DDPM constructor
+    (ddpm.py:126 default l2 vs 'l1' in the yaml — exps/diffusion.py:148-156
+    passes no loss_type), so honouring it would diverge from reference
+    behavior. Keys the TPU build has no use for (amp, first_stage_key,
+    log_every_t, ...) are skipped.
+    """
+    cfg = base or Config()
+    model = data.get("model", {})
+    params = model.get("params", {})
+    train_kw = {}
+    if "base_learning_rate" in model:
+        train_kw["lr"] = float(model["base_learning_rate"])
+    if "resume" in model:
+        train_kw["resume"] = bool(model["resume"])
+
+    if "ddconfig" in params:  # autoencoder config
+        dd = params["ddconfig"]
+        ae_kw = {k: dd[k] for k in
+                 ("channels", "resolution", "timesteps", "splits")
+                 if k in dd}
+        if "embed_dim" in params:
+            ae_kw["embed_dim"] = params["embed_dim"]
+        loss_kw = dict(params.get("lossconfig", {}).get("params", {}))
+        cfg = dataclasses.replace(
+            cfg,
+            mtov_ae=_overlay(cfg.mtov_ae, ae_kw),
+            mtov_loss=_overlay(cfg.mtov_loss, loss_kw),
+        )
+
+    if "unet_config" in params:  # latent-diffusion config
+        uc = params["unet_config"]
+        unet_kw = {k: uc[k] for k in
+                   ("in_channels", "out_channels", "model_channels",
+                    "num_res_blocks", "attention_resolutions",
+                    "channel_mult", "num_heads", "use_scale_shift_norm",
+                    "resblock_updown")
+                   if k in uc}
+        diff_kw = {k: params[k] for k in
+                   ("linear_start", "linear_end", "timesteps", "w")
+                   if k in params}
+        sched = params.get("scheduler_config", {})
+        if sched.get("warm_up_steps"):
+            train_kw["warmup_steps"] = int(sched["warm_up_steps"][0])
+        cfg = dataclasses.replace(
+            cfg,
+            mtov_unet=_overlay(cfg.mtov_unet, unet_kw),
+            mtov_diffusion=_overlay(cfg.mtov_diffusion, diff_kw),
+        )
+
+    if train_kw:
+        cfg = dataclasses.replace(
+            cfg, mtov_train=_overlay(cfg.mtov_train, train_kw))
+    return cfg
+
+
+def load_config(path: str, base: Config | None = None) -> Config:
+    """Load a YAML config file in either accepted format."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    if "model" in data and isinstance(data.get("model"), dict):
+        return config_from_reference_dict(data, base)
+    return config_from_dict(data, base)
