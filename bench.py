@@ -13,6 +13,11 @@ compiles once and the extract program is reused for all three conditions.
 Batches B windows per step — the reference samples ONE window at a time on
 one GPU (sample.py:305); frames/sec/chip = B·16 / step_time.
 
+MFU: analytic FLOPs from ``compiled.cost_analysis()`` divided by measured
+time × the chip's peak bf16 FLOP/s (by TPU generation). Timing is honest
+over the device tunnel: iterations are data-dependently chained and closed
+with a host fetch (block_until_ready is unreliable through the relay).
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md). We use a
 documented ESTIMATE of the reference's single-H100 throughput for the same
 op point: ~100 UNet steps × ~8 ms (torch eager, mc=128, [1,4,2048]) + AE
@@ -23,20 +28,43 @@ measured / 13.3.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-import os
-
 REF_H100_FPS_ESTIMATE = 13.3
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 
+# peak dense bf16 TFLOP/s per chip by generation
+PEAK_BF16 = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def peak_flops() -> float:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return PEAK_BF16.get(gen, PEAK_BF16["v5e"])
+
+
+def cost_flops(fn, *args) -> float | None:
+    """Analytic FLOPs of a jitted fn via XLA cost analysis (None if the
+    backend doesn't expose it)."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # pragma: no cover - backend-dependent
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
 
 
 def main():
@@ -116,8 +144,84 @@ def main():
     fetch(out)
     dt = (time.perf_counter() - t1) / ITERS
     log(f"steady-state window time {dt:.3f}s")
-
     frames_per_sec = BATCH * ae_cfg.timesteps / dt
+
+    # ---- stage attribution (each stage self-chained data-dependently)
+    stacked0 = jnp.concatenate([video, video, video], axis=0)
+    z3_0 = extract(ae_params, stacked0)
+    cond0 = jnp.concatenate([z3_0[:BATCH], z3_0[BATCH:2 * BATCH]], axis=1)
+    ic0 = z3_0[2 * BATCH:]
+
+    def time_stage(step_fn, state):
+        fetch_leaf = lambda x: np.asarray(
+            jax.tree_util.tree_leaves(x)[0]).ravel()[:2]
+        state = step_fn(state, 0)
+        fetch_leaf(state)
+        t = time.perf_counter()
+        for i in range(ITERS):
+            state = step_fn(state, i)
+        fetch_leaf(state)
+        return (time.perf_counter() - t) / ITERS
+
+    t_extract = time_stage(
+        lambda v, i: extract(
+            ae_params,
+            stacked0 * (1 + 1e-6 * v.reshape(-1)[0].astype(jnp.float32))),
+        z3_0)
+    t_denoise = time_stage(
+        lambda lat, i: denoise(
+            unet_params,
+            cond0 + 1e-3 * jnp.concatenate([lat, lat], axis=1), ic0,
+            jax.random.PRNGKey(i)),
+        jnp.zeros((BATCH, 4, L), jnp.float32))
+    t_decode = time_stage(
+        lambda v, i: decode(
+            ae_params,
+            z3_0[:BATCH] * (1 + 1e-6 * v.reshape(-1)[0].astype(jnp.float32))),
+        video)
+    log(f"stages: extract(3x) {t_extract:.3f}s denoise {t_denoise:.3f}s "
+        f"decode {t_decode:.3f}s")
+
+    # ---- MFU from analytic FLOPs. XLA's cost_analysis counts a scan body
+    # ONCE regardless of trip count, so the denoise program is costed as a
+    # single UNet forward and multiplied by the DDIM step count.
+    fl_extract = cost_flops(
+        lambda p, v: ae.apply(p, v, method=ae.extract), ae_params, stacked0)
+    fl_step = cost_flops(
+        lambda p, x, c, ic, t: ddpm.model.apply(p, x, c, ic, t),
+        unet_params, z3_0[:BATCH], cond0, ic0,
+        jnp.full((BATCH,), 500, jnp.int32))
+    fl_decode = cost_flops(
+        lambda p, z: ae.apply(p, z, method=ae.decode_from_sample),
+        ae_params, z3_0[:BATCH])
+    mfu = None
+    window_flops = None
+    if all(f is not None for f in (fl_extract, fl_step, fl_decode)):
+        fl_denoise = fl_step * diff_cfg.sampling_timesteps
+        window_flops = fl_extract + fl_denoise + fl_decode
+        mfu = window_flops / dt / peak_flops()
+        mfu_denoise = fl_denoise / t_denoise / peak_flops()
+        log(f"flops/window {window_flops/1e12:.2f} TF "
+            f"(extract {fl_extract/1e12:.2f} denoise {fl_denoise/1e12:.2f} "
+            f"decode {fl_decode/1e12:.2f}) → MFU {mfu*100:.1f}% "
+            f"(denoise-only {mfu_denoise*100:.1f}%)")
+
+    # ---- fast AR mode: partial renoise, ratio 0.25 → 25 denoise steps
+    # (the reference's shipped sampling mode, scripts/inference/sample.sh:10)
+    noised = jax.jit(lambda p, z, c, ic, k: ddpm.ddim_sample_noised_start(
+        p, k, z, c, ic, 0.25))
+    zz = noised(unet_params, z3_0[:BATCH], cond0, ic0, key)
+    fetch_z = lambda x: np.asarray(x[0, 0, :2])
+    fetch_z(zz)
+    t3 = time.perf_counter()
+    lat = z3_0[:BATCH]
+    for i in range(ITERS):
+        lat = noised(unet_params, lat, cond0, ic0, jax.random.PRNGKey(i))
+    fetch_z(lat)
+    t_fast_denoise = (time.perf_counter() - t3) / ITERS
+    fast_window = t_extract + t_fast_denoise + t_decode
+    log(f"fast-mode (ratio .25) denoise {t_fast_denoise:.3f}s → "
+        f"window {fast_window:.3f}s")
 
     # ---- secondary metric: AToM sequences/sec (DDIM-50, CFG w=2 as one
     # doubled batch; horizon 156 — BASELINE.md op point)
@@ -161,6 +265,17 @@ def main():
             "window_seconds": round(dt, 4),
             "ddim_steps": diff_cfg.sampling_timesteps,
             "resolution": ae_cfg.resolution,
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "window_tflops": (round(window_flops / 1e12, 2)
+                              if window_flops is not None else None),
+            "stage_seconds": {
+                "extract3": round(t_extract, 4),
+                "denoise100": round(t_denoise, 4),
+                "decode": round(t_decode, 4),
+            },
+            "fast_mode_frames_per_sec": round(
+                BATCH * ae_cfg.timesteps / fast_window, 3),
+            "fast_mode_window_seconds": round(fast_window, 4),
             "atom_seqs_per_sec": round(atom_seqs_per_sec, 3),
             "atom_ddim_steps": 50,
             "baseline_note": "vs documented estimate of reference 1×H100 "

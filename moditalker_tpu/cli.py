@@ -310,6 +310,8 @@ def cmd_convert(args):
         fn = lambda s: convert_hubert(s, HubertConfig())
     elif args.kind == "fan":
         from .preprocess.fan import convert_fan as fn
+    elif args.kind == "s3fd":
+        from .preprocess.s3fd import convert_s3fd as fn
     else:
         fn = converters[args.kind]
     tree = fn(sd)
@@ -386,7 +388,8 @@ def main(argv=None):
     p.add_argument("--torch-ckpt", required=True)
     p.add_argument("--kind", required=True,
                    choices=["atom", "vit-autoencoder", "triplane-unet",
-                            "recon-resnet50", "i3d", "hubert", "fan"])
+                            "recon-resnet50", "i3d", "hubert", "fan",
+                            "s3fd"])
     p.add_argument("--out", required=True)
     p.add_argument("--ema", action="store_true",
                    help="for atom ckpts: take ema_state_dict")

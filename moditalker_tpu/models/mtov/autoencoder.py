@@ -60,6 +60,38 @@ class QuantAttention(nn.Module):
         return x
 
 
+class PatchToPixel(nn.Module):
+    """ConvTranspose(kernel=stride=p) as a matmul + depth-to-space.
+
+    The reference unpatchifies with ``nn.ConvTranspose2d(C, 3, p, p)``
+    (autoencoder_vit.py:142-148 ``to_pixel``). Because stride == kernel the
+    taps never overlap, so the op is exactly one Dense(C → p·p·3) per token —
+    a clean MXU matmul — instead of XLA's input-dilated convolution, which
+    wastes 63/64 of its taps on zeros and runs at 3/128 output-lane
+    utilization (measured: ~0.7 s of the 0.84 s decode stage at B=4).
+    The parameter keeps flax ConvTranspose's ``transpose_kernel=True`` layout
+    ([kh, kw, O, I]) so converted reference checkpoints load unchanged.
+    """
+
+    features: int
+    patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, HP, WP, C] → [B, HP*p, WP*p, features]
+        p, o = self.patch, self.features
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, o, c))
+        bias = self.param("bias", nn.initializers.zeros, (o,))
+        k2 = kernel.astype(self.dtype).transpose(3, 0, 1, 2).reshape(
+            c, p * p * o)
+        y = x @ k2                                   # [B, HP, WP, p*p*o]
+        b, hp, wp, _ = y.shape
+        y = y.reshape(b, hp, wp, p, p, o).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, hp * p, wp * p, o) + bias.astype(self.dtype)
+
+
 class ViTAutoencoder(nn.Module):
     """Triplane video AE. All video tensors are [B, T, H, W, 3] in [-1, 1]."""
 
@@ -75,10 +107,8 @@ class ViTAutoencoder(nn.Module):
         self.decoder = TimeSformerDecoder(
             dim=dim, depth=c.depth, heads=c.heads, dim_head=c.dim_head,
             dtype=self.dtype)
-        self.to_pixel = nn.ConvTranspose(
-            features=3, kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size), dtype=self.dtype,
-            transpose_kernel=True, name="to_pixel")
+        self.to_pixel = PatchToPixel(features=3, patch=c.patch_size,
+                                     dtype=self.dtype, name="to_pixel")
 
         init = nn.initializers.normal(1.0)
         s, r = c.timesteps // c.splits, c.latent_res

@@ -32,9 +32,17 @@ def sdpa(
     """
     if scale is not None:
         q = q * scale
-    sim = jnp.einsum("...id,...jd->...ij", q, k, preferred_element_type=jnp.float32)
+    sim = jnp.einsum("...id,...jd->...ij", q, k,
+                     preferred_element_type=jnp.float32)
     if mask is not None:
         sim = jnp.where(mask, sim, jnp.finfo(sim.dtype).min)
+    if q.dtype == jnp.bfloat16:
+        # bf16 compute: the [N, N] score tensor is the dominant HBM traffic
+        # of every attention in this model family (it cannot fuse across the
+        # two matmuls). Materialize it in bf16 — the casts fuse into the
+        # matmul epilogue / softmax kernel, halving score traffic, while all
+        # reductions (max, sum) still run in fp32 inside the softmax fusion.
+        sim = sim.astype(jnp.bfloat16)
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("...ij,...jd->...id", attn, v)
 

@@ -254,6 +254,18 @@ class FanLandmarker:
         self._apply = jax.jit(
             lambda p, x: self.model.apply(p, x)[-1])
 
+    @classmethod
+    def with_s3fd(cls, fan_params, s3fd_params, num_modules: int = 4,
+                  threshold: float = 0.5) -> "FanLandmarker":
+        """Cold-start tracker: S3FD detects the face on frame 0, FAN tracks
+        from there (the reference's face_alignment default —
+        align_face_recon.py:155 builds FaceAlignment with its bundled SFD
+        detector)."""
+        from .s3fd import S3FDDetector
+
+        return cls(fan_params, num_modules=num_modules,
+                   detector_fn=S3FDDetector(s3fd_params, threshold))
+
     def landmarks_for_frame(self, frame_u8: np.ndarray,
                             prior) -> np.ndarray:
         center, scale = bbox_to_center_scale(prior)
@@ -266,12 +278,15 @@ class FanLandmarker:
     def __call__(self, frames_u8: np.ndarray) -> np.ndarray:
         """[T, H, W, 3] uint8 → [T, 68, 2] image-space landmarks."""
         t, h, w = frames_u8.shape[:3]
+        prior = None
         if self.initial_box is not None:
             prior = np.asarray(self.initial_box, np.float64)
         elif self.detector_fn is not None:
-            prior = np.asarray(self.detector_fn(frames_u8[0]), np.float64)
-        else:
-            # whole-frame prior (center crop) when no detector is available
+            box = self.detector_fn(frames_u8[0])
+            if box is not None:
+                prior = np.asarray(box, np.float64)
+        if prior is None:
+            # whole-frame prior (center crop): no detector, or no detection
             prior = np.array([w * 0.2, h * 0.2, w * 0.8, h * 0.8])
         out = np.empty((t, 68, 2), np.float64)
         for i in range(t):

@@ -21,10 +21,17 @@ from .recon_net import ReconNet
 
 
 class Reconstructor:
-    def __init__(self, recon_params, lm3d_std: np.ndarray,
-                 rescale_factor: float = 102.0):
+    def __init__(self, recon_params, lm3d_std: np.ndarray | None = None,
+                 rescale_factor: float = 102.0, bfm_dir: str | None = None):
         import jax
 
+        if lm3d_std is None:
+            # default: the BFM standard template (similarity_Lm3D_all.mat
+            # via load_mats.load_lm3d, ref reconstructor.py:36)
+            from .load_mats import load_lm3d, synthetic_lm3d_std
+
+            lm3d_std = (load_lm3d(bfm_dir) if bfm_dir
+                        else synthetic_lm3d_std())
         self.model = ReconNet()
         self.params = recon_params
         self.lm3d_std = np.asarray(lm3d_std, np.float64)

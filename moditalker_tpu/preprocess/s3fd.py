@@ -1,0 +1,206 @@
+"""S3FD face detector — first-frame bootstrap for the FAN landmark tracker.
+
+The reference's alignment pipeline self-starts via face_alignment's bundled
+S3FD detector (ref data/data_utils/motion_align/align_face_recon.py:155,
+``face_alignment.FaceAlignment`` constructs SFDDetector). This is the
+TPU-native equivalent: the conv trunk (VGG16 features + dilated fc6/fc7 +
+two extra stages, L2Norm feature scaling, 6 detection heads with max-out
+background at stride 4) runs as one jitted flax program; the SSD box decode
++ NMS run on host numpy (data-dependent thresholding, executed once per
+video so host cost is irrelevant).
+
+Weights port from face_alignment's ``s3fd-619a316812.pth`` via
+``convert_s3fd``. Without weights, ``FanLandmarker`` falls back to its
+whole-frame prior (talking-head videos are face-centered by construction).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalization with a learned scale (S3FD trick for
+    mixing shallow feature maps into detection heads)."""
+
+    channels: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight",
+                       lambda k, s: jnp.full(s, self.init_scale, jnp.float32),
+                       (self.channels,))
+        norm = jnp.sqrt((x.astype(jnp.float32) ** 2).sum(-1, keepdims=True)
+                        + 1e-10)
+        return (x / norm.astype(x.dtype)) * w.astype(x.dtype)
+
+
+class S3FD(nn.Module):
+    """Trunk + 6 (conf, loc) heads. Input [B, H, W, 3] float (BGR means
+    already subtracted, as in the original); returns a list of 12 maps
+    [conf_s4, loc_s4, conf_s8, loc_s8, ...] at strides 4,8,16,32,64,128."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        C = lambda ch, k, name, **kw: nn.Conv(ch, (k, k), dtype=d,
+                                              name=name, **kw)
+        pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = nn.relu(C(64, 3, "conv1_1", padding=1)(x))
+        h = nn.relu(C(64, 3, "conv1_2", padding=1)(h))
+        h = pool(h)
+        h = nn.relu(C(128, 3, "conv2_1", padding=1)(h))
+        h = nn.relu(C(128, 3, "conv2_2", padding=1)(h))
+        h = pool(h)
+        h = nn.relu(C(256, 3, "conv3_1", padding=1)(h))
+        h = nn.relu(C(256, 3, "conv3_2", padding=1)(h))
+        h = nn.relu(C(256, 3, "conv3_3", padding=1)(h))
+        f3 = h                                     # stride 4
+        h = pool(h)
+        h = nn.relu(C(512, 3, "conv4_1", padding=1)(h))
+        h = nn.relu(C(512, 3, "conv4_2", padding=1)(h))
+        h = nn.relu(C(512, 3, "conv4_3", padding=1)(h))
+        f4 = h                                     # stride 8
+        h = pool(h)
+        h = nn.relu(C(512, 3, "conv5_1", padding=1)(h))
+        h = nn.relu(C(512, 3, "conv5_2", padding=1)(h))
+        h = nn.relu(C(512, 3, "conv5_3", padding=1)(h))
+        f5 = h                                     # stride 16
+        h = pool(h)
+        h = nn.relu(C(1024, 3, "fc6", padding=3)(h))   # pad 3, like the ref
+        h = nn.relu(C(1024, 1, "fc7", padding=0)(h))
+        ffc7 = h                                   # stride 32
+        h = nn.relu(C(256, 1, "conv6_1", padding=0)(h))
+        h = nn.relu(nn.Conv(512, (3, 3), strides=(2, 2), padding=1,
+                            dtype=d, name="conv6_2")(h))
+        f6 = h                                     # stride 64
+        h = nn.relu(C(128, 1, "conv7_1", padding=0)(h))
+        h = nn.relu(nn.Conv(256, (3, 3), strides=(2, 2), padding=1,
+                            dtype=d, name="conv7_2")(h))
+        f7 = h                                     # stride 128
+
+        f3 = L2Norm(256, 10.0, name="conv3_3_norm")(f3)
+        f4 = L2Norm(512, 8.0, name="conv4_3_norm")(f4)
+        f5 = L2Norm(512, 5.0, name="conv5_3_norm")(f5)
+
+        out = []
+        specs = [(f3, "conv3_3_norm", 4), (f4, "conv4_3_norm", 2),
+                 (f5, "conv5_3_norm", 2), (ffc7, "fc7", 2),
+                 (f6, "conv6_2", 2), (f7, "conv7_2", 2)]
+        for feat, name, n_conf in specs:
+            conf = C(n_conf, 3, f"{name}_mbox_conf", padding=1)(feat)
+            loc = C(4, 3, f"{name}_mbox_loc", padding=1)(feat)
+            if n_conf == 4:
+                # max-out background at the finest scale: 3 bg logits maxed
+                # into one, channel 3 is the face logit
+                bg = jnp.max(conf[..., :3], axis=-1, keepdims=True)
+                conf = jnp.concatenate([bg, conf[..., 3:]], axis=-1)
+            out.append(jax.nn.softmax(conf.astype(jnp.float32), axis=-1))
+            out.append(loc.astype(jnp.float32))
+        return out
+
+
+def decode_detections(olist: list[np.ndarray], threshold: float = 0.5,
+                      variances=(0.1, 0.2)) -> np.ndarray:
+    """SSD decode: per-scale anchors (stride s, size 4s), standard
+    center-variance box regression, then NMS. Returns [N, 5] (x0,y0,x1,y1,
+    score), best first."""
+    boxes = []
+    for i in range(len(olist) // 2):
+        conf, loc = np.asarray(olist[2 * i])[0], np.asarray(olist[2 * i + 1])[0]
+        stride = 2 << (i + 1)  # 4, 8, 16, 32, 64, 128
+        ys, xs = np.where(conf[..., 1] > threshold)
+        for y, x in zip(ys, xs):
+            score = conf[y, x, 1]
+            axc, ayc = stride / 2 + x * stride, stride / 2 + y * stride
+            d = loc[y, x]
+            cx = axc + d[0] * variances[0] * stride * 4
+            cy = ayc + d[1] * variances[0] * stride * 4
+            w = stride * 4 * np.exp(d[2] * variances[1])
+            hh = stride * 4 * np.exp(d[3] * variances[1])
+            boxes.append([cx - w / 2, cy - hh / 2, cx + w / 2, cy + hh / 2,
+                          score])
+    if not boxes:
+        return np.zeros((0, 5))
+    b = np.asarray(boxes, np.float64)
+    return b[nms(b, 0.3)]
+
+
+def nms(dets: np.ndarray, thresh: float) -> list[int]:
+    """Greedy IoU NMS (indices sorted by score)."""
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
+        order = order[1:][ovr <= thresh]
+    return keep
+
+
+_BGR_MEANS = np.array([104.0, 117.0, 123.0], np.float32)
+
+
+class S3FDDetector:
+    """``detector_fn`` for FanLandmarker: frame [H,W,3] uint8 RGB →
+    [x0,y0,x1,y1] of the highest-scoring face (None if no detection)."""
+
+    def __init__(self, params, threshold: float = 0.5):
+        self.model = S3FD()
+        self.params = params
+        self.threshold = threshold
+        self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def __call__(self, frame_u8: np.ndarray):
+        img = frame_u8[..., ::-1].astype(np.float32) - _BGR_MEANS  # RGB→BGR
+        olist = self._apply(self.params, jnp.asarray(img[None]))
+        dets = decode_detections([np.asarray(o) for o in olist],
+                                 self.threshold)
+        if dets.shape[0] == 0:
+            return None
+        return dets[0, :4]
+
+
+def convert_s3fd(sd: dict) -> dict:
+    """torch face_alignment s3fd state_dict → flax params tree.
+
+    torch conv weight [O, I, kh, kw] → flax [kh, kw, I, O]; L2Norm scale
+    vectors pass through.
+    """
+    p: dict = {}
+    names = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
+             "conv3_2", "conv3_3", "conv4_1", "conv4_2", "conv4_3",
+             "conv5_1", "conv5_2", "conv5_3", "fc6", "fc7",
+             "conv6_1", "conv6_2", "conv7_1", "conv7_2"]
+    heads = ["conv3_3_norm", "conv4_3_norm", "conv5_3_norm", "fc7",
+             "conv6_2", "conv7_2"]
+    for n in names:
+        p[n] = {
+            "kernel": np.asarray(sd[f"{n}.weight"]).transpose(2, 3, 1, 0),
+            "bias": np.asarray(sd[f"{n}.bias"]),
+        }
+    for n in heads:
+        for kind in ("conf", "loc"):
+            key = f"{n}_mbox_{kind}"
+            p[key] = {
+                "kernel": np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+                "bias": np.asarray(sd[f"{key}.bias"]),
+            }
+    # L2Norm scales: 1-D '<name>.weight' tensors
+    for n in ("conv3_3_norm", "conv4_3_norm", "conv5_3_norm"):
+        p[n] = {"weight": np.asarray(sd[f"{n}.weight"])}
+    return {"params": p}
