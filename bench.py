@@ -208,15 +208,17 @@ def main():
 
     # ---- fast AR mode: partial renoise, ratio 0.25 → 25 denoise steps
     # (the reference's shipped sampling mode, scripts/inference/sample.sh:10)
-    noised = jax.jit(lambda p, z, c, ic, k: ddpm.ddim_sample_noised_start(
-        p, k, z, c, ic, 0.25))
-    zz = noised(unet_params, z3_0[:BATCH], cond0, ic0, key)
+    noised = jax.jit(lambda p, z, c, ic, k, r: ddpm.ddim_sample_noised_start(
+        p, k, z, c, ic, r))
+    ratio = jnp.asarray(0.25, jnp.float32)
+    zz = noised(unet_params, z3_0[:BATCH], cond0, ic0, key, ratio)
     fetch_z = lambda x: np.asarray(x[0, 0, :2])
     fetch_z(zz)
     t3 = time.perf_counter()
     lat = z3_0[:BATCH]
     for i in range(ITERS):
-        lat = noised(unet_params, lat, cond0, ic0, jax.random.PRNGKey(i))
+        lat = noised(unet_params, lat, cond0, ic0, jax.random.PRNGKey(i),
+                     ratio)
     fetch_z(lat)
     t_fast_denoise = (time.perf_counter() - t3) / ITERS
     fast_window = t_extract + t_fast_denoise + t_decode

@@ -1,0 +1,230 @@
+"""Full audio→video pipeline benchmark — prints ONE JSON line (stdout).
+
+Times every stage of the reference's end-to-end inference dataflow
+(SURVEY.md §1, ref README.md:109-147) at the published op point, on the
+attached TPU chip, with full-size models (random weights — identical FLOPs):
+
+    wav 6.24 s ──hubert-large (chunked fwd)──▶ [T,1024]        process_audio.py
+      ──AToM DDIM-50 CFG, horizon 156──▶ frontalized [156,68,3] AToM/inference.py
+      ──motion align: FAN per frame + recon ResNet-50──▶ aligned [156,68,2]
+                                                         align_face_recon.py
+      ──MToV: rasterize → 9 AR windows × (extract ×3 + DDIM + decode)──▶ frames
+                                                                sample.py
+      ──ffmpeg mux──▶ mp4
+
+Reports seconds-per-second-of-video (the BASELINE.md north-star unit) with a
+stage breakdown, for both the standard DDIM-100 window and the reference's
+shipped fast AR mode (noised start, ratio 0.25 → 25 denoise steps,
+scripts/inference/sample.sh:10-13).
+
+Timing is honest over the device tunnel: host fetches close every stage (the
+per-frame FAN/recon stages fetch inherently).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+FPS = 25
+HORIZON = 156                       # ref AToM/inference.py:26
+SECONDS = HORIZON / FPS             # 6.24 s
+IDENTITIES = int(os.environ.get("BENCH_E2E_IDENTITIES", "1"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.config import (AtomDiffusionConfig, AtomModelConfig,
+                                       MtovAEConfig, MtovDiffusionConfig,
+                                       MtovUNetConfig)
+    from moditalker_tpu.data.mtov_dataset import (rasterize_landmarks,
+                                                  to_model_range)
+    from moditalker_tpu.models.atom import MotionDecoder
+    from moditalker_tpu.models.mtov import MtovDDPM, ViTAutoencoder
+    from moditalker_tpu.pipelines.atom_infer import AtomInferencePipeline
+    from moditalker_tpu.pipelines.mtov_sample import (MtovSamplePipeline,
+                                                      write_video)
+    from moditalker_tpu.preprocess import audio as audio_pp
+    from moditalker_tpu.preprocess.fan import FAN, FanLandmarker
+    from moditalker_tpu.preprocess.hubert import HubertConfig, HubertEncoder
+    from moditalker_tpu.preprocess.motion_align import MotionAligner
+    from moditalker_tpu.preprocess.recon_net import ReconNet
+    from moditalker_tpu.preprocess.reconstructor import Reconstructor
+    from moditalker_tpu.preprocess.load_mats import synthetic_lm3d_std
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    stages: dict[str, float] = {}
+    t_wall = time.perf_counter()
+
+    # ---------------- model setup (all full-size, random weights) ----------
+    t0 = time.perf_counter()
+    hub_cfg = HubertConfig()  # hubert-large
+    hub = HubertEncoder(hub_cfg, dtype=jnp.bfloat16)
+    n_chunk = 16000 * 10      # process_audio chunking unit
+    hub_params = jax.jit(hub.init)(key, jnp.zeros((1, n_chunk)))
+    hub_apply = jax.jit(lambda p, w: hub.apply(p, w))
+
+    atom_cfg = AtomModelConfig()
+    atom_diff = AtomDiffusionConfig()
+    dec = MotionDecoder(atom_cfg)
+    atom_params = jax.jit(dec.init)(
+        key, jnp.zeros((1, HORIZON, 204)), jnp.zeros((1, HORIZON, 204)),
+        jnp.zeros((1, HORIZON * 2, 1024)), jnp.zeros((1,), jnp.int32))
+    atom = AtomInferencePipeline(atom_params, atom_cfg, atom_diff,
+                                 dtype=jnp.bfloat16)
+
+    fan_model = FAN(num_modules=4)
+    fan_params = jax.jit(fan_model.init)(key, jnp.zeros((1, 256, 256, 3)))
+    fan = FanLandmarker(fan_params)
+
+    recon_model = ReconNet()
+    recon_params = jax.jit(recon_model.init)(key,
+                                             jnp.zeros((1, 224, 224, 3)))
+    lm3d_std = synthetic_lm3d_std()
+    recon = Reconstructor(recon_params, lm3d_std)
+    aligner = MotionAligner(fan, recon.coeff_fn(), lm3d_std)
+
+    ae_cfg = MtovAEConfig()
+    unet_cfg = MtovUNetConfig()
+    diff_cfg = MtovDiffusionConfig(sampling_timesteps=100)
+    ae = ViTAutoencoder(ae_cfg, dtype=jnp.bfloat16)
+    v0 = jnp.zeros((1, ae_cfg.timesteps, ae_cfg.resolution,
+                    ae_cfg.resolution, 3))
+    ae_params = jax.jit(ae.init)(key, v0)
+    ddpm = MtovDDPM.create(unet_cfg, diff_cfg, dtype=jnp.bfloat16)
+    L = ae_cfg.latent_len
+    unet_params = jax.jit(ddpm.model.init)(
+        key, jnp.zeros((1, 4, L)), jnp.zeros((1, 8, L)),
+        jnp.zeros((1, 4, L)), jnp.zeros((1,), jnp.int32))
+    pipe = MtovSamplePipeline(ae_params, ae_params, unet_params,
+                              ae_cfg, unet_cfg, diff_cfg)
+    log(f"setup(init) {time.perf_counter()-t0:.1f}s")
+
+    # synthetic inputs: 6.24 s of audio, a 156-frame driving video, an
+    # identity keypoint, in the reference's exact formats
+    wave = rng.normal(scale=0.1, size=(int(16000 * SECONDS),)).astype(
+        np.float32)
+    driving = rng.integers(0, 255, (HORIZON, 256, 256, 3)).astype(np.uint8)
+    ident_kp = rng.normal(scale=0.3, size=(68, 3)).astype(np.float32)
+
+    # ---------------- stage 1: audio → hubert features ---------------------
+    t0 = time.perf_counter()
+    feats = audio_pp.extract_hubert_features(
+        audio_pp.normalize_like_wav2vec2(wave),
+        lambda w: np.asarray(hub_apply(hub_params, jnp.asarray(w)),
+                             np.float32)[0])
+    stages["hubert"] = time.perf_counter() - t0
+    log(f"hubert {stages['hubert']:.2f}s → {feats.shape}")
+
+    # ---------------- stage 2: AToM → frontalized landmarks ----------------
+    # warmup compile outside the timed region (one-time cost per process)
+    _ = atom.generate_landmarks(key, ident_kp, feats)
+    t0 = time.perf_counter()
+    lm3d = np.stack([
+        atom.generate_landmarks(jax.random.PRNGKey(i), ident_kp, feats)
+        for i in range(IDENTITIES)])
+    stages["atom"] = (time.perf_counter() - t0) / IDENTITIES
+    log(f"atom {stages['atom']:.2f}s → {lm3d.shape}")
+
+    # ---------------- stage 3: motion alignment (FAN + recon) --------------
+    t0 = time.perf_counter()
+    aligned = aligner.align_sequence(lm3d[0], driving)
+    stages["align"] = time.perf_counter() - t0
+    log(f"align {stages['align']:.2f}s → {aligned.shape}")
+
+    # ---------------- stage 4: MToV AR windows -----------------------------
+    aligned_i = np.clip(np.nan_to_num(aligned), 0, 255).astype(int)
+    res = ae_cfg.resolution
+
+    def windows():
+        for lo in range(0, HORIZON - ae_cfg.timesteps + 1, ae_cfg.timesteps):
+            lm = aligned_i[lo : lo + ae_cfg.timesteps]
+            ldmk = rasterize_landmarks(lm, size=res, src_wh=256)
+            vid = driving[lo : lo + ae_cfg.timesteps].astype(np.float32)
+            yield {
+                "x_l": to_model_range(ldmk.astype(np.float32))[None],
+                "x": to_model_range(vid)[None],
+                "masked_x": to_model_range(vid)[None],
+                "x_ref": to_model_range(
+                    np.stack([driving[0].astype(np.float32)] *
+                             ae_cfg.timesteps))[None],
+            }
+
+    n_windows = HORIZON // ae_cfg.timesteps
+    # warmup compile on the first window
+    w0 = next(iter(windows()))
+    _ = np.asarray(pipe.sample_window(
+        jnp.asarray(w0["x_l"]), jnp.asarray(w0["masked_x"]),
+        jnp.asarray(w0["x_ref"]), key))
+    t0 = time.perf_counter()
+    frames = pipe.sample_long(windows(), key, use_last_as_reference=True)
+    stages["mtov"] = time.perf_counter() - t0
+    log(f"mtov {stages['mtov']:.2f}s → {frames.shape} ({n_windows} windows)")
+
+    # fast AR mode (noised start 0.25 → 25 denoise steps)
+    w0 = next(iter(windows()))
+    _ = np.asarray(pipe.sample_window(
+        jnp.asarray(w0["x_l"]), jnp.asarray(w0["masked_x"]),
+        jnp.asarray(w0["x_ref"]), key, gt_video=jnp.asarray(w0["x"]),
+        noised_start_ratio=0.25))
+    t0 = time.perf_counter()
+    frames_fast = pipe.sample_long(windows(), key,
+                                   use_last_as_reference=True,
+                                   noised_start_ratio=0.25)
+    stages["mtov_fast"] = time.perf_counter() - t0
+    log(f"mtov fast {stages['mtov_fast']:.2f}s")
+
+    # ---------------- stage 5: ffmpeg mux -----------------------------------
+    import tempfile
+    import wave as wavemod
+
+    with tempfile.TemporaryDirectory() as td:
+        wav_path = os.path.join(td, "a.wav")
+        with wavemod.open(wav_path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes((wave * 32767).astype(np.int16).tobytes())
+        t0 = time.perf_counter()
+        out = write_video(frames[0], os.path.join(td, "out.mp4"), fps=FPS,
+                          audio_path=wav_path)
+        stages["mux"] = time.perf_counter() - t0
+        log(f"mux {stages['mux']:.2f}s → {out}")
+
+    gen_seconds = frames.shape[1] / FPS
+    total = (stages["hubert"] + stages["atom"] + stages["align"]
+             + stages["mtov"] + stages["mux"])
+    total_fast = (stages["hubert"] + stages["atom"] + stages["align"]
+                  + stages["mtov_fast"] + stages["mux"])
+    print(json.dumps({
+        "metric": "e2e_seconds_per_second_of_video",
+        "value": round(total / gen_seconds, 3),
+        "unit": "s/s",
+        "vs_baseline": None,
+        "extra": {
+            "video_seconds": round(gen_seconds, 2),
+            "total_seconds": round(total, 2),
+            "total_seconds_fast_mode": round(total_fast, 2),
+            "fast_mode_s_per_s": round(total_fast / gen_seconds, 3),
+            "stages_seconds": {k: round(v, 3) for k, v in stages.items()},
+            "wall_with_compile": round(time.perf_counter() - t_wall, 1),
+            "note": "random weights (identical FLOPs); stage order = ref "
+                    "README.md:109-147; mtov = DDIM-100 windows, "
+                    "mtov_fast = noised-start ratio 0.25 (sample.sh mode)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -277,6 +277,22 @@ def cmd_sample(args):
     print(f"video: {out}")
 
 
+def cmd_golden(args):
+    from . import golden
+
+    if args.mode == "convert":
+        if not args.ckpt_dir:
+            sys.exit("--ckpt-dir required for convert")
+        golden.convert_all(args.ckpt_dir, args.out_dir)
+    elif args.mode == "record":
+        golden.record(args.golden, args.params_dir, tiny=args.tiny)
+    else:
+        ok = golden.check(args.golden, args.params_dir, tiny=args.tiny,
+                          rtol=args.rtol, atol=args.atol)
+        if not ok:
+            sys.exit(1)
+
+
 def cmd_convert(args):
     """torch reference checkpoint → orbax params tree."""
     import torch
@@ -383,6 +399,23 @@ def main(argv=None):
     p.add_argument("--out-dir", default="runs/sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("golden",
+                       help="real-checkpoint golden harness "
+                            "(convert / record / check)")
+    p.add_argument("--mode", required=True,
+                   choices=["convert", "record", "check"])
+    p.add_argument("--ckpt-dir", default=None,
+                   help="directory of reference .pth/.pt files (convert)")
+    p.add_argument("--params-dir", default=None,
+                   help="directory of converted params (record/check)")
+    p.add_argument("--golden", default="goldens.npz")
+    p.add_argument("--out-dir", default="runs/converted")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny configs (harness self-test)")
+    p.add_argument("--rtol", type=float, default=1e-4)
+    p.add_argument("--atol", type=float, default=1e-4)
+    p.set_defaults(fn=cmd_golden)
 
     p = sub.add_parser("convert-checkpoint")
     p.add_argument("--torch-ckpt", required=True)

@@ -156,8 +156,15 @@ def ddim_sample(
     """
     batch = shape[0]
     times, times_next = ddim_time_pairs(sched.num_timesteps, sampling_steps)
-    times = times[start_pair_index:]
-    times_next = times_next[start_pair_index:]
+    # static start index → slice the tables at trace time (fewest steps in
+    # the program); traced start index → keep full tables and lax.cond-skip
+    # the head steps, so ONE compiled program serves every ratio (the
+    # partial-renoise AR sampler would otherwise recompile the whole
+    # extract+scan+decode program per distinct ratio)
+    static_start = isinstance(start_pair_index, int)
+    if static_start:
+        times = times[start_pair_index:]
+        times_next = times_next[start_pair_index:]
 
     if x_init is None:
         key, sub = jax.random.split(key)
@@ -172,12 +179,13 @@ def ddim_sample(
         "time_next": jnp.asarray(times_next, dtype=jnp.int32),
         "key": step_keys,
     }
+    if not static_start:
+        xs["i"] = jnp.arange(n_steps, dtype=jnp.int32)
     if guidance_weights is not None:
-        xs["w"] = jnp.asarray(
-            guidance_weights[start_pair_index:], dtype=jnp.float32
-        )
+        w = jnp.asarray(guidance_weights, dtype=jnp.float32)
+        xs["w"] = w[start_pair_index:] if static_start else w
 
-    def body(x, step):
+    def step_math(x, step):
         t_vec = jnp.full((batch,), step["time"], dtype=jnp.int32)
         if guidance_weights is not None:
             out = model_fn(x, t_vec, step["w"])
@@ -199,6 +207,18 @@ def ddim_sample(
             # reference applies the constraint only while time > 0
             # (AToM diffusion.py:299-300)
             x_new = jnp.where(step["time"] > 0, post_step_fn(x_new, step["time"]), x_new)
+        return x_new
+
+    def body(x, step):
+        if static_start:
+            return step_math(x, step), None
+        # skipped head steps are real control flow: the model never runs
+        x_new = jax.lax.cond(
+            step["i"] >= start_pair_index,
+            lambda x: step_math(x, step),
+            lambda x: x,
+            x,
+        )
         return x_new, None
 
     x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
@@ -222,15 +242,24 @@ def ddim_sample_noised_start(
 
     ``fixed_noise_key`` pins the renoising draw to a caller-held key — the
     determinism pin the reference implements with ``torch.manual_seed(1004)``
-    (ddpm.py:424-427, ``fixed_noise=True``)."""
+    (ddpm.py:424-427, ``fixed_noise=True``).
+
+    ``ratio`` may be a python float (static: the scan covers only the tail
+    steps) or a traced jnp scalar (dynamic: one compiled program serves all
+    ratios; head steps are lax.cond-skipped)."""
     key, k_noise = jax.random.split(key)
     if fixed_noise_key is not None:
         k_noise = fixed_noise_key
-    t0 = int(sched.num_timesteps * ratio)
+    if isinstance(ratio, (int, float)):
+        t0 = int(sched.num_timesteps * ratio)
+        start_idx: int | jnp.ndarray = int(sampling_steps * (1 - ratio))
+    else:
+        r = jnp.asarray(ratio, jnp.float32)
+        t0 = jnp.floor(sched.num_timesteps * r).astype(jnp.int32)
+        start_idx = jnp.floor(sampling_steps * (1.0 - r)).astype(jnp.int32)
     t_vec = jnp.full((x_start.shape[0],), t0, dtype=jnp.int32)
     noise = jax.random.normal(k_noise, x_start.shape, dtype=x_start.dtype)
     x_noisy = q_sample(sched, x_start, t_vec, noise)
-    start_idx = int(sampling_steps * (1 - ratio))
     return ddim_sample(
         sched,
         model_fn,

@@ -8,7 +8,7 @@ embeddings: 1D rotary over frames, axial 2D rotary over the patch grid
 (per head-dim, applied to q/k).
 
 Parity: computation graph identical to the reference (verified by ported
-weights in tests/test_mtov_ae.py); softmax runs in fp32.
+weights in tests/test_mtov_parity.py); softmax runs in fp32.
 """
 
 from __future__ import annotations

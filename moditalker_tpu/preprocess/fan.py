@@ -275,9 +275,41 @@ class FanLandmarker:
         hm = np.asarray(self._apply(self.params, jnp.asarray(crop[None])))
         return heatmaps_to_landmarks(hm, center=center, scale=scale)[0]
 
+    def landmarks_batched(self, frames_u8: np.ndarray,
+                          boxes: np.ndarray) -> np.ndarray:
+        """All frames in ONE FAN dispatch, given per-frame boxes [T, 4].
+
+        The reference detects + landmarks every frame independently
+        (align_face_recon.py:155-163: fa.get_landmarks per frame), which is
+        embarrassingly batchable; the sequential path below exists only for
+        detector-free prior-frame tracking. 156 frames = 1 device call
+        instead of 156."""
+        import jax.numpy as jnp
+
+        t = frames_u8.shape[0]
+        centers, scales = zip(*(bbox_to_center_scale(b) for b in boxes))
+        crops = np.stack([
+            crop_face(frames_u8[i].astype(np.float32), centers[i], scales[i])
+            for i in range(t)]) / 255.0
+        hm = np.asarray(self._apply(self.params, jnp.asarray(crops)))
+        out = np.empty((t, 68, 2), np.float64)
+        for i in range(t):
+            out[i] = heatmaps_to_landmarks(
+                hm[i : i + 1], center=centers[i], scale=scales[i])[0]
+        return out
+
     def __call__(self, frames_u8: np.ndarray) -> np.ndarray:
-        """[T, H, W, 3] uint8 → [T, 68, 2] image-space landmarks."""
+        """[T, H, W, 3] uint8 → [T, 68, 2] image-space landmarks.
+
+        With a batch-capable detector (S3FDDetector.boxes_for_frames) all
+        frames run as two batched device programs; otherwise frame-by-frame
+        tracking from the first frame's box/prior."""
         t, h, w = frames_u8.shape[:3]
+        if self.detector_fn is not None and hasattr(self.detector_fn,
+                                                    "boxes_for_frames"):
+            boxes = self.detector_fn.boxes_for_frames(frames_u8)
+            if boxes is not None:
+                return self.landmarks_batched(frames_u8, boxes)
         prior = None
         if self.initial_box is not None:
             prior = np.asarray(self.initial_box, np.float64)

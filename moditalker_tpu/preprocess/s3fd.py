@@ -166,13 +166,42 @@ class S3FDDetector:
         self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
 
     def __call__(self, frame_u8: np.ndarray):
-        img = frame_u8[..., ::-1].astype(np.float32) - _BGR_MEANS  # RGB→BGR
-        olist = self._apply(self.params, jnp.asarray(img[None]))
-        dets = decode_detections([np.asarray(o) for o in olist],
-                                 self.threshold)
-        if dets.shape[0] == 0:
+        boxes = self.boxes_for_frames(frame_u8[None])
+        return None if boxes is None else boxes[0]
+
+    def boxes_for_frames(self, frames_u8: np.ndarray):
+        """[T, H, W, 3] uint8 → [T, 4] best box per frame (ONE batched
+        device call), or None when any frame has no detection (callers then
+        fall back to tracking). Frames without a face reuse the previous
+        frame's box when at least one frame detected."""
+        imgs = frames_u8[..., ::-1].astype(np.float32) - _BGR_MEANS
+        olist = [np.asarray(o) for o in self._apply(self.params,
+                                                    jnp.asarray(imgs))]
+        t = frames_u8.shape[0]
+        boxes = np.zeros((t, 4))
+        have = np.zeros(t, bool)
+        for i in range(t):
+            per = [o[i : i + 1] for o in olist]
+            dets = decode_detections(per, self.threshold)
+            if dets.shape[0]:
+                boxes[i] = dets[0, :4]
+                have[i] = True
+        if not have.any():
             return None
-        return dets[0, :4]
+        # forward/backward fill gaps from neighbours
+        last = None
+        for i in range(t):
+            if have[i]:
+                last = boxes[i]
+            elif last is not None:
+                boxes[i] = last
+        last = None
+        for i in range(t - 1, -1, -1):
+            if have[i]:
+                last = boxes[i]
+            elif not have[i] and not boxes[i].any() and last is not None:
+                boxes[i] = last
+        return boxes
 
 
 def convert_s3fd(sd: dict) -> dict:

@@ -135,8 +135,11 @@ class FirstStageTrainer:
                 p_loss = lcfg.perceptual_weight * self.lpips.apply(
                     state.lpips_params, in_2d, re_2d).mean()
 
-                disc_factor = adopt_weight(state.step // self.train_cfg.accum_iter,
-                                          lcfg.disc_start)
+                # reference gates the loss terms on the RAW iteration
+                # (trainer.py:186-190 passes global_step=it to adopt_weight)
+                # while the phase flip below divides by accum — an
+                # inconsistency the reference trained with; reproduce it
+                disc_factor = adopt_weight(state.step, lcfg.disc_start)
                 (lf2, pf2), _ = self.disc2d.apply(
                     state.disc2d, re_2d, train=True, mutable=["batch_stats"])
                 (lf3, pf3), _ = self.disc3d.apply(
@@ -194,8 +197,7 @@ class FirstStageTrainer:
                 (lf3, _), _ = self.disc3d.apply(
                     disc_params["d3"], recon, train=True,
                     mutable=["batch_stats"])
-                disc_factor = adopt_weight(state.step // self.train_cfg.accum_iter,
-                                          lcfg.disc_start)
+                disc_factor = adopt_weight(state.step, lcfg.disc_start)
                 return disc_factor * lcfg.disc_weight * (
                     hinge_d_loss(lr2, lf2) + hinge_d_loss(lr3, lf3))
 
@@ -223,6 +225,8 @@ class FirstStageTrainer:
         else:
             self.state, metrics = self._d_step(self.state, dev, sub)
         it = self._it
+        # phase flip: it//accum vs disc_start (trainer.py:226-230) — NOT the
+        # same unit as adopt_weight above; reference semantics kept verbatim
         if it % accum == accum - 1 and it // accum >= self.loss_cfg.disc_start:
             self._disc_phase = not self._disc_phase
         self._it += 1

@@ -112,3 +112,53 @@ def test_fan_cold_start_with_s3fd(s3fd_params):
     out = lmk(frames)
     assert out.shape == (2, 68, 2)
     assert np.isfinite(out).all()
+
+
+def test_fan_batched_path_with_box_detector():
+    """A batch-capable detector routes all frames through ONE FAN dispatch
+    (landmarks_batched); results stay inside the crop frame."""
+    from moditalker_tpu.preprocess.fan import FAN, FanLandmarker
+
+    fan_model = FAN(num_modules=1)
+    fan_p = jax.jit(fan_model.init)(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 256, 256, 3)))
+
+    class FakeDet:
+        calls = 0
+
+        def boxes_for_frames(self, frames):
+            FakeDet.calls += 1
+            t = frames.shape[0]
+            return np.tile(np.array([[10.0, 10.0, 80.0, 80.0]]), (t, 1))
+
+        def __call__(self, frame):  # pragma: no cover
+            raise AssertionError("batched path should be used")
+
+    lmk = FanLandmarker(fan_p, num_modules=1, detector_fn=FakeDet())
+    frames = np.random.default_rng(3).integers(
+        0, 255, (3, 96, 96, 3)).astype(np.uint8)
+    out = lmk(frames)
+    assert out.shape == (3, 68, 2)
+    assert FakeDet.calls == 1
+    assert np.isfinite(out).all()
+
+
+def test_s3fd_boxes_for_frames_gap_fill():
+    """Frames without a detection inherit a neighbour's box."""
+    from moditalker_tpu.preprocess import s3fd as s3fd_mod
+
+    class Det(s3fd_mod.S3FDDetector):
+        def __init__(self):  # no model needed
+            self.threshold = 0.5
+
+    det = Det()
+    conf = np.zeros((2, 4, 4, 2), np.float32)
+    loc = np.zeros((2, 4, 4, 4), np.float32)
+    conf[0, 1, 1, 1] = 0.9  # frame 0 detects, frame 1 doesn't
+    olist = [conf, loc] + [np.zeros((2, 1, 1, 2)), np.zeros((2, 1, 1, 4))] * 5
+
+    det._apply = lambda p, x: olist
+    det.params = None
+    boxes = det.boxes_for_frames(np.zeros((2, 16, 16, 3), np.uint8))
+    assert boxes.shape == (2, 4)
+    np.testing.assert_allclose(boxes[1], boxes[0])  # gap filled
