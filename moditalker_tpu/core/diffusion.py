@@ -157,10 +157,14 @@ def ddim_sample(
     batch = shape[0]
     times, times_next = ddim_time_pairs(sched.num_timesteps, sampling_steps)
     # static start index → slice the tables at trace time (fewest steps in
-    # the program); traced start index → keep full tables and lax.cond-skip
-    # the head steps, so ONE compiled program serves every ratio (the
-    # partial-renoise AR sampler would otherwise recompile the whole
-    # extract+scan+decode program per distinct ratio)
+    # the program, scan-able, unrollable); traced start index → keep full
+    # tables and run a lax.fori_loop whose lower bound is the traced index,
+    # so ONE compiled program serves every ratio (the partial-renoise AR
+    # sampler would otherwise recompile the whole extract+scan+decode
+    # program per distinct ratio) while executing ONLY the tail steps —
+    # a dynamic trip count is real control flow on TPU, unlike the
+    # cond-per-step alternative, which measured 10× slower than even the
+    # full scan through the device tunnel.
     static_start = isinstance(start_pair_index, int)
     if static_start:
         times = times[start_pair_index:]
@@ -174,16 +178,10 @@ def ddim_sample(
 
     n_steps = len(times)
     step_keys = jax.random.split(key, n_steps)
-    xs = {
-        "time": jnp.asarray(times, dtype=jnp.int32),
-        "time_next": jnp.asarray(times_next, dtype=jnp.int32),
-        "key": step_keys,
-    }
-    if not static_start:
-        xs["i"] = jnp.arange(n_steps, dtype=jnp.int32)
-    if guidance_weights is not None:
-        w = jnp.asarray(guidance_weights, dtype=jnp.float32)
-        xs["w"] = w[start_pair_index:] if static_start else w
+    times = jnp.asarray(times, dtype=jnp.int32)
+    times_next = jnp.asarray(times_next, dtype=jnp.int32)
+    w = (jnp.asarray(guidance_weights, dtype=jnp.float32)
+         if guidance_weights is not None else None)
 
     def step_math(x, step):
         t_vec = jnp.full((batch,), step["time"], dtype=jnp.int32)
@@ -209,20 +207,22 @@ def ddim_sample(
             x_new = jnp.where(step["time"] > 0, post_step_fn(x_new, step["time"]), x_new)
         return x_new
 
-    def body(x, step):
-        if static_start:
-            return step_math(x, step), None
-        # skipped head steps are real control flow: the model never runs
-        x_new = jax.lax.cond(
-            step["i"] >= start_pair_index,
-            lambda x: step_math(x, step),
-            lambda x: x,
-            x,
-        )
-        return x_new, None
+    if static_start:
+        xs = {"time": times, "time_next": times_next, "key": step_keys}
+        if w is not None:
+            xs["w"] = w[start_pair_index:]
+        x, _ = jax.lax.scan(
+            lambda x, step: (step_math(x, step), None), x, xs, unroll=unroll)
+        return x
 
-    x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
-    return x
+    def fori_body(i, x):
+        step = {"time": times[i], "time_next": times_next[i],
+                "key": step_keys[i]}
+        if w is not None:
+            step["w"] = w[i]
+        return step_math(x, step)
+
+    return jax.lax.fori_loop(start_pair_index, n_steps, fori_body, x)
 
 
 def ddim_sample_noised_start(
