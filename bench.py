@@ -58,12 +58,18 @@ def cost_flops(fn, *args) -> float | None:
     backend doesn't expose it)."""
     import jax
 
+    from moditalker_tpu.ops import attention as attn_mod
+
     try:
+        attn_mod.reset_flash_flop_ledger()
         compiled = jax.jit(fn).lower(*args).compile()
+        # Pallas flash-attention FLOPs are invisible to XLA cost analysis
+        # (custom calls); the sdpa dispatch records them while tracing.
+        flash = attn_mod.flash_flop_ledger()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        return float(ca["flops"]) + flash
     except Exception as e:  # pragma: no cover - backend-dependent
         log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
         return None

@@ -14,24 +14,15 @@ default and the Pallas path is an opt-in fast path.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def sdpa(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    scale: float | None = None,
-    mask: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Scaled dot-product attention over the last two axes.
-
-    q: [..., Nq, D], k/v: [..., Nk, D]. Any leading batch/head axes.
-    If ``scale`` is None, q is assumed pre-scaled.
-    """
-    if scale is not None:
-        q = q * scale
+def _xla_sdpa(q, k, v, mask=None):
+    """The einsum reference path; q pre-scaled."""
     sim = jnp.einsum("...id,...jd->...ij", q, k,
                      preferred_element_type=jnp.float32)
     if mask is not None:
@@ -45,6 +36,95 @@ def sdpa(
         sim = sim.astype(jnp.bfloat16)
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("...ij,...jd->...id", attn, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_sdpa(q3, k3, v3, scale):
+    # forward: Pallas single-pass kernel (scores never leave VMEM)
+    from .pallas.flash_attention import onepass_attention  # lazy: avoid cycle
+
+    return onepass_attention(q3, k3, v3, scale)
+
+
+def _flash_sdpa_fwd(q3, k3, v3, scale):
+    return _flash_sdpa(q3, k3, v3, scale), (q3, k3, v3)
+
+
+def _flash_sdpa_bwd(scale, res, g):
+    # backward: recompute probabilities via the XLA path's numerics and use
+    # the standard softmax-attention adjoints. Training backward keeps the
+    # materialized-score memory profile it always had; only forward is fused.
+    q, k, v = res
+    s = jnp.einsum("bid,bjd->bij", q * scale, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = p.astype(v.dtype)
+    dv = jnp.einsum("bij,bid->bjd", pv, g)
+    dp = jnp.einsum("bid,bjd->bij", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds.astype(q.dtype)
+    dq = jnp.einsum("bij,bjd->bid", ds, k) * scale
+    dk = jnp.einsum("bij,bid->bjd", ds, q) * scale
+    return dq, dk, dv
+
+
+_flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
+
+# Trace-time FLOP ledger: XLA's ``compiled.cost_analysis()`` cannot see
+# inside Pallas custom calls, so every flash-dispatched sdpa records its
+# analytic matmul FLOPs (qkᵀ + pv = 4·B·N²·D) here while tracing. Benchmarks
+# reset the ledger, lower the program, then add the ledger to the XLA count.
+_flash_flops_traced: list[float] = []
+
+
+def reset_flash_flop_ledger() -> None:
+    _flash_flops_traced.clear()
+
+
+def flash_flop_ledger() -> float:
+    return float(sum(_flash_flops_traced))
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over the last two axes.
+
+    q: [..., Nq, D], k/v: [..., Nk, D]. Any leading batch/head axes.
+    If ``scale`` is None, q is assumed pre-scaled.
+
+    On TPU, mask-free self-attention at flash-profitable shapes (N ≥ 1024)
+    dispatches to the Pallas single-pass kernel — 2.2–2.4× over the einsum
+    path at this model's hot shapes (triplane joint attn, TimeSformer space
+    attn) by never materializing the [N, N] scores in HBM. Backward falls
+    back to the XLA adjoints (see ``_flash_sdpa_bwd``). Set
+    ``MODITALKER_NO_FLASH_ATTN=1`` to force the einsum path everywhere.
+    """
+    from .pallas.flash_attention import onepass_attention_viable
+
+    nq, d = q.shape[-2], q.shape[-1]
+    nk = k.shape[-2]
+    if (mask is None
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("MODITALKER_NO_FLASH_ATTN")
+            and onepass_attention_viable(nq, nk, d)):
+        lead = q.shape[:-2]
+        b3 = 1
+        for s in lead:
+            b3 *= int(s)
+        _flash_flops_traced.append(4.0 * b3 * nq * nk * d)
+        out = _flash_sdpa(q.reshape(-1, nq, d), k.reshape(-1, nk, d),
+                          v.reshape(-1, nk, d),
+                          1.0 if scale is None else float(scale))
+        return out.reshape(*lead, nq, d)
+    if scale is not None:
+        q = q * scale
+    return _xla_sdpa(q, k, v, mask)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
