@@ -237,13 +237,13 @@ def record(out_path: str, params_dir: str | None, tiny: bool = False):
     _log(f"goldens recorded: {out_path} ({sorted(probes)})")
 
 
-def check(golden_path: str, params_dir: str | None, tiny: bool = False,
-          rtol: float = 1e-4, atol: float = 1e-4) -> bool:
-    probes = run_probes(params_dir, tiny=tiny)
-    gold = np.load(golden_path)
+def compare_probes(probes: dict, gold, rtol: float = 1e-4,
+                   atol: float = 1e-4) -> tuple[bool, dict]:
+    """Compare a probe dict against recorded goldens (npz mapping or dict)."""
+    names = gold.files if hasattr(gold, "files") else list(gold)
     ok = True
     report = {}
-    for name in gold.files:
+    for name in names:
         if name not in probes:
             report[name] = "MISSING"
             ok = False
@@ -258,5 +258,12 @@ def check(golden_path: str, params_dir: str | None, tiny: bool = False,
         report[name] = f"max_err={err:.3e} tol={tol:.3e}"
         if err > tol:
             ok = False
+    return ok, report
+
+
+def check(golden_path: str, params_dir: str | None, tiny: bool = False,
+          rtol: float = 1e-4, atol: float = 1e-4) -> bool:
+    probes = run_probes(params_dir, tiny=tiny)
+    ok, report = compare_probes(probes, np.load(golden_path), rtol, atol)
     print(json.dumps({"ok": ok, "probes": report}))
     return ok

@@ -11,9 +11,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # The suite is XLA:CPU-compile-bound on this 1-vCPU image: a tiny-config
+    # UNet jit takes 29 s at the default LLVM opt level vs 10 s at -O0
+    # (execution time is noise at test sizes). Tests only — bench and the
+    # driver entry points never import this file.
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
@@ -26,7 +31,12 @@ jax.config.update("jax_platforms", "cpu")
 # device count, which the lines above pin.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.0, not the 1.0 default-ish threshold: eager `.init`/`.apply` in tests
+# triggers hundreds of tiny (~80 ms) op-by-op compiles per test, all below
+# any nonzero threshold — measured 48 s of backend_compile in ONE tiny-UNet
+# init. Persisting them turns warm reruns into pure cache loads.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert len(jax.devices()) == 8, (
     "test suite requires the 8-device virtual CPU backend; got "

@@ -34,7 +34,7 @@ def test_decoder_shapes():
     cfg = SMALL
     model = MotionDecoder(cfg)
     x, face, cond, t = _dummy_inputs(cfg)
-    params = model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, face, cond, t)
     out = model.apply(params, x, face, cond, t)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
@@ -44,7 +44,7 @@ def test_decoder_null_conditioning_differs():
     cfg = SMALL
     model = MotionDecoder(cfg)
     x, face, cond, t = _dummy_inputs(cfg)
-    params = model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, face, cond, t)
     out_c = model.apply(params, x, face, cond, t,
                         keep_mask=jnp.ones((2,), bool))
     out_u = model.apply(params, x, face, cond, t,
@@ -55,7 +55,7 @@ def test_decoder_null_conditioning_differs():
 def test_atom_diffusion_loss_and_sample():
     diff = AtomDiffusion.create(model_cfg=SMALL)
     x, face, cond, t = _dummy_inputs(SMALL)
-    params = diff.model.init(jax.random.PRNGKey(0), x, face, cond, t)
+    params = jax.jit(diff.model.init)(jax.random.PRNGKey(0), x, face, cond, t)
     total, (recon, vel) = diff.p_losses(
         params, jax.random.PRNGKey(1), x, face, cond, deterministic=True)
     assert np.isfinite(float(total))

@@ -28,7 +28,7 @@ def _params():
     f = jnp.zeros((1, SMALL.horizon, 204))
     c = jnp.zeros((1, SMALL.horizon * 2, 1024))
     t = jnp.zeros((1,), jnp.int32)
-    return m.init(jax.random.PRNGKey(0), x, f, c, t)
+    return jax.jit(m.init)(jax.random.PRNGKey(0), x, f, c, t)
 
 
 def test_prepare_condition_shapes_and_padding():
@@ -121,7 +121,8 @@ def test_atom_inpaint_loop():
     key = jax.random.PRNGKey(0)
     face = jnp.zeros((1, SMALL.horizon, 204))
     cond = jnp.zeros((1, SMALL.horizon * 2, 1024))
-    params = d.model.init(key, face, face, cond, jnp.zeros((1,), jnp.int32))
+    params = jax.jit(d.model.init)(key, face, face, cond,
+                                   jnp.zeros((1,), jnp.int32))
     mask = jnp.zeros((1, SMALL.horizon, 204)).at[:, :4].set(1.0)
     value = jnp.full((1, SMALL.horizon, 204), 0.5)
     out = d.inpaint_loop(params, key, (1, SMALL.horizon, 204), face, cond,

@@ -1,5 +1,11 @@
 """Golden-harness self-test (tiny configs, random weights): record → check
-must pass; a perturbed goldens file must fail (verdict item 10)."""
+must pass; a perturbed goldens file must fail (verdict item 10).
+
+Probe runs are expensive (each jits an AToM DDIM + a full MToV window), so
+the file shares them: one direct `run_probes` (module fixture), one CLI
+`record` drive, one CLI `check` drive — determinism and the perturbation
+failure case are asserted against the shared results instead of re-running.
+"""
 
 import numpy as np
 import pytest
@@ -7,27 +13,56 @@ import pytest
 from moditalker_tpu import cli, golden
 
 
-def test_golden_record_then_check(tmp_path, capsys):
-    g = tmp_path / "goldens.npz"
+@pytest.fixture(scope="module")
+def tiny_probes():
+    return golden.run_probes(None, tiny=True)
+
+
+@pytest.fixture(scope="module")
+def recorded(tmp_path_factory):
+    g = tmp_path_factory.mktemp("golden") / "goldens.npz"
     cli.main(["golden", "--mode", "record", "--golden", str(g), "--tiny"])
     assert g.exists()
+    return g
 
-    cli.main(["golden", "--mode", "check", "--golden", str(g), "--tiny"])
+
+def test_golden_record_then_check(recorded, capsys):
+    cli.main(["golden", "--mode", "check", "--golden", str(recorded),
+              "--tiny"])
     out = capsys.readouterr().out
     assert '"ok": true' in out
 
-    # perturb one probe → check must fail with nonzero exit
-    data = dict(np.load(g))
+
+def test_golden_probes_deterministic(tiny_probes, recorded):
+    # the fixture run and the CLI record run are independent executions;
+    # bit-equality between them is the determinism guarantee
+    data = dict(np.load(recorded))
+    assert set(data) == set(tiny_probes)
+    for k in data:
+        np.testing.assert_array_equal(data[k], tiny_probes[k])
+
+
+def test_golden_perturbed_fails(tiny_probes, recorded):
+    data = dict(np.load(recorded))
     data["atom_sequence"] = data["atom_sequence"] + 0.5
-    np.savez_compressed(g, **data)
-    with pytest.raises(SystemExit):
-        cli.main(["golden", "--mode", "check", "--golden", str(g), "--tiny"])
+    ok, report = golden.compare_probes(tiny_probes, data)
+    assert not ok
+    assert "atom_sequence" in report
+
+
+def test_golden_check_cli_exits_nonzero_on_mismatch(tiny_probes, recorded,
+                                                    tmp_path, capsys):
+    data = dict(np.load(recorded))
+    data["atom_sequence"] = data["atom_sequence"] + 0.5
+    bad = tmp_path / "bad.npz"
+    np.savez_compressed(bad, **data)
+    # drive the CLI failure path without re-running probes
+    import unittest.mock as mock
+
+    with mock.patch.object(golden, "run_probes",
+                           return_value=dict(tiny_probes)):
+        with pytest.raises(SystemExit):
+            cli.main(["golden", "--mode", "check", "--golden", str(bad),
+                      "--tiny"])
     out = capsys.readouterr().out
     assert '"ok": false' in out
-
-
-def test_golden_probes_deterministic():
-    a = golden.run_probes(None, tiny=True)
-    b = golden.run_probes(None, tiny=True)
-    for k in a:
-        np.testing.assert_array_equal(a[k], b[k])

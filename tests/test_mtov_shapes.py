@@ -25,7 +25,7 @@ def test_ae_roundtrip_shapes():
     ae = ViTAutoencoder(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (2, cfg.timesteps, cfg.resolution, cfg.resolution, 3))
-    params = ae.init(jax.random.PRNGKey(1), x)
+    params = jax.jit(ae.init)(jax.random.PRNGKey(1), x)
     recon, _ = ae.apply(params, x)
     assert recon.shape == x.shape
     assert float(jnp.abs(recon).max()) <= 1.0
@@ -36,7 +36,7 @@ def test_ae_extract_decode_layout():
     ae = ViTAutoencoder(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, cfg.timesteps, cfg.resolution, cfg.resolution, 3))
-    params = ae.init(jax.random.PRNGKey(1), x)
+    params = jax.jit(ae.init)(jax.random.PRNGKey(1), x)
     z = ae.apply(params, x, method=ae.extract)
     assert z.shape == (1, cfg.embed_dim, cfg.latent_len)
     assert float(jnp.abs(z).max()) <= 1.0  # tanh'd
@@ -57,7 +57,7 @@ def test_unet_shapes_and_finite():
     cond = jax.random.normal(jax.random.PRNGKey(1), (2, 8, L))
     ic = jax.random.normal(jax.random.PRNGKey(2), (2, 4, L))
     t = jnp.array([0, 10], jnp.int32)
-    params = unet.init(jax.random.PRNGKey(3), x, cond, ic, t)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(3), x, cond, ic, t)
     out = unet.apply(params, x, cond, ic, t)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
@@ -74,7 +74,7 @@ def test_unet_zero_init_head_gives_zero_output_delta():
     cond = jnp.zeros((1, 8, L))
     ic = jnp.zeros((1, 4, L))
     t = jnp.zeros((1,), jnp.int32)
-    params = unet.init(jax.random.PRNGKey(3), x, cond, ic, t)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(3), x, cond, ic, t)
     out = unet.apply(params, x, cond, ic, t)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
@@ -85,7 +85,7 @@ def test_ddpm_loss_and_sample():
     x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(0), (2, 4, L)))
     cond = jax.random.normal(jax.random.PRNGKey(1), (2, 8, L))
     ic = jax.random.normal(jax.random.PRNGKey(2), (2, 4, L))
-    params = ddpm.model.init(jax.random.PRNGKey(3), x, cond, ic,
+    params = jax.jit(ddpm.model.init)(jax.random.PRNGKey(3), x, cond, ic,
                              jnp.zeros((2,), jnp.int32))
     loss, aux = ddpm.p_losses(params, jax.random.PRNGKey(4), x, cond, ic)
     assert np.isfinite(float(loss))

@@ -16,21 +16,33 @@ UNET_TINY = MtovUNetConfig(model_channels=32, num_res_blocks=1,
                            channel_mult=(1, 2), attention_resolutions=(1, 2),
                            num_heads=2, latent_res=4, latent_t=4)
 DIFF_TINY = MtovDiffusionConfig(timesteps=20, sampling_timesteps=4)
-TRAIN = MtovTrainConfig(batch_size=8, accum_iter=2)
+# batch 2, not 8: every first-stage G step runs LPIPS-VGG16 over b·t frames
+# forward+backward — at test sizes that VGG dominates the whole file's
+# runtime on the 1-vCPU test backend (4× with batch 8)
+TRAIN = MtovTrainConfig(batch_size=2, accum_iter=2)
 # Conv3D on the CPU test backend is pathologically slow in XLA; shrink the
 # discriminators for tests (architecture unchanged: still 2D+3D PatchGAN)
 LOSS_G_ONLY = MtovLossConfig(disc_start=10**8, disc_ndf=8, disc_layers=1)
 LOSS_GAN = MtovLossConfig(disc_start=0, disc_ndf=8, disc_layers=1)
 
 
-def _video(b=8):
+def _video(b=2):
     rng = np.random.default_rng(0)
     return rng.uniform(-1, 1, size=(b, 4, 32, 32, 3)).astype(np.float32)
 
 
+def _mesh1():
+    # first-stage tests run on a 1-device mesh: the 8-way virtual partition
+    # only adds scheduling overhead on the 1-vCPU backend, and the sharded
+    # paths are covered by test_sharding / test_graft_entry
+    from moditalker_tpu.core import sharding as shard_lib
+
+    return shard_lib.make_mesh(1)
+
+
 def test_first_stage_g_only_loss_drops():
     # disc_start huge → pure reconstruction phase like base.yaml (1e8)
-    trainer = FirstStageTrainer(AE_TINY, LOSS_G_ONLY, TRAIN)
+    trainer = FirstStageTrainer(AE_TINY, LOSS_G_ONLY, TRAIN, mesh=_mesh1())
     v = _video()
     losses = [float(trainer.step(v)["ae_loss"]) for _ in range(8)]
     assert np.isfinite(losses).all()
@@ -39,7 +51,7 @@ def test_first_stage_g_only_loss_drops():
 
 def test_first_stage_gan_phase_alternation():
     # disc_start=0 → G/D alternate every accum cycle (base_gan.yaml: -1)
-    trainer = FirstStageTrainer(AE_TINY, LOSS_GAN, TRAIN)
+    trainer = FirstStageTrainer(AE_TINY, LOSS_GAN, TRAIN, mesh=_mesh1())
     v = _video()
     kinds = []
     for _ in range(8):
@@ -52,7 +64,7 @@ def test_first_stage_gan_phase_alternation():
 
 def test_first_stage_freeze_decoder():
     trainer = FirstStageTrainer(AE_TINY, LOSS_G_ONLY, TRAIN,
-                                freeze_decoder=True)
+                                freeze_decoder=True, mesh=_mesh1())
     import jax
     # snapshot to host before stepping — the train step donates the state
     before = jax.tree_util.tree_map(
