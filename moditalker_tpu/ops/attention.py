@@ -40,10 +40,15 @@ def _xla_sdpa(q, k, v, mask=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_sdpa(q3, k3, v3, scale):
-    # forward: Pallas single-pass kernel (scores never leave VMEM)
-    from .pallas.flash_attention import onepass_attention  # lazy: avoid cycle
+    # forward: Pallas kernel picked by shape (scores never leave VMEM);
+    # dispatch already validated viability before calling
+    from .pallas.flash_attention import (onepass_attention,  # lazy: cycle
+                                         onepass_attention_viable,
+                                         tiny_attention)
 
-    return onepass_attention(q3, k3, v3, scale)
+    if onepass_attention_viable(q3.shape[1], k3.shape[1], q3.shape[2]):
+        return onepass_attention(q3, k3, v3, scale)
+    return tiny_attention(q3, k3, v3, scale)
 
 
 def _flash_sdpa_fwd(q3, k3, v3, scale):
@@ -98,25 +103,33 @@ def sdpa(
     q: [..., Nq, D], k/v: [..., Nk, D]. Any leading batch/head axes.
     If ``scale`` is None, q is assumed pre-scaled.
 
-    On TPU, mask-free self-attention at flash-profitable shapes (N ≥ 1024)
-    dispatches to the Pallas single-pass kernel — 2.2–2.4× over the einsum
-    path at this model's hot shapes (triplane joint attn, TimeSformer space
-    attn) by never materializing the [N, N] scores in HBM. Backward falls
-    back to the XLA adjoints (see ``_flash_sdpa_bwd``). Set
+    On TPU, mask-free self-attention dispatches to a Pallas kernel at the
+    shapes where one wins (measured, v5e):
+      * N ≥ 1024 → single-pass whole-KV-in-VMEM kernel, 2.2–2.4× over the
+        einsum path (triplane joint attn [32,2048,16] 1549→658 us,
+        TimeSformer space attn [384,1024,64] 3841→1741 us) — the [N, N]
+        score tensor never touches HBM;
+      * N ≤ 32 with a large folded batch → chunked tiny-L kernel, 1.5×
+        (TimeSformer time attn [98304,16,64] 7.8→5.2 ms) — XLA's batched
+        tiny matmuls run at ~2 TF/s, the chunk kernel keeps each chunk's
+        scores/softmax in VMEM.
+    Backward falls back to the XLA adjoints (see ``_flash_sdpa_bwd``). Set
     ``MODITALKER_NO_FLASH_ATTN=1`` to force the einsum path everywhere.
     """
-    from .pallas.flash_attention import onepass_attention_viable
+    from .pallas.flash_attention import (onepass_attention_viable,
+                                         tiny_attention_viable)
 
     nq, d = q.shape[-2], q.shape[-1]
     nk = k.shape[-2]
+    b3 = 1
+    for s in q.shape[:-2]:
+        b3 *= int(s)
     if (mask is None
             and jax.default_backend() == "tpu"
             and not os.environ.get("MODITALKER_NO_FLASH_ATTN")
-            and onepass_attention_viable(nq, nk, d)):
+            and (onepass_attention_viable(nq, nk, d)
+                 or tiny_attention_viable(b3, nq, nk, d))):
         lead = q.shape[:-2]
-        b3 = 1
-        for s in lead:
-            b3 *= int(s)
         _flash_flops_traced.append(4.0 * b3 * nq * nk * d)
         out = _flash_sdpa(q.reshape(-1, nq, d), k.reshape(-1, nk, d),
                           v.reshape(-1, nk, d),

@@ -139,6 +139,52 @@ def _onepass(q, k, v, scale: float, interpret: bool = False):
     )(q, k, v)
 
 
+def _tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # Tiny-L batched attention (e.g. TimeSformer time attention: L=16 over
+    # ~100k independent sequences). XLA's batched matmul runs this at ~2
+    # TF/s; one VMEM-resident chunk of sequences per grid step avoids the
+    # HBM round-trips between the two matmuls and the softmax.
+    qq = q_ref[...]                                    # [C, L, D]
+    kk = k_ref[...]
+    vv = v_ref[...]
+    s = jax.lax.dot_general(qq, kk, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / p.sum(axis=-1, keepdims=True)).astype(vv.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, vv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _tiny(q, k, v, scale: float, interpret: bool = False):
+    b, n, d = q.shape
+    chunk = 256 if b % 256 == 0 else 128
+    return pl.pallas_call(
+        functools.partial(_tiny_kernel, scale=scale),
+        grid=(b // chunk,),
+        in_specs=[pl.BlockSpec((chunk, n, d), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((chunk, n, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def tiny_attention_viable(b: int, nq: int, nk: int, d: int) -> bool:
+    """Shapes where the tiny-L chunk kernel beats XLA on TPU (measured on
+    v5e at [98304, 16, 64]: 7.76 → 5.16 ms). Ragged shapes are excluded:
+    sublane/lane padding both wastes the VMEM chunk budget (the quant-pool
+    [·,17,48] shape OOMed scoped vmem) and erases the win."""
+    return (_HAS_PALLAS and nq == nk and nq <= 32 and nq % 8 == 0
+            and b >= 4096 and b % 128 == 0 and d % 64 == 0 and d <= 128)
+
+
+def tiny_attention(q, k, v, scale: float, interpret: bool = False):
+    """Chunked VMEM attention for [B, L, D] with tiny L (folded batch)."""
+    return _tiny(q, k, v, float(scale), interpret)
+
+
 def onepass_attention_viable(nq: int, nk: int, d: int) -> bool:
     """Shapes where the single-pass kernel beats XLA on TPU (measured on v5e:
     joint-attn [32,2048,16] 1549→658 us, TimeSformer space [384,1024,64]

