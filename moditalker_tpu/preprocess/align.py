@@ -71,6 +71,14 @@ def crop_params(img_size, lm5_img, lm5_3d, rescale_factor: float = 102.0,
     (ref trans_params_extract, preprocess.py:258-290)."""
     t, scale = pos_solve(lm5_img[:, :2], lm5_3d)
     s = rescale_factor / scale
+    # Degenerate landmarks (collapsed/garbage detections) make the POS scale
+    # arbitrarily small or negative, and the downstream resize (w0·s, h0·s)
+    # then overflows int32 / allocates absurd canvases. Clamp so the resized
+    # image stays within [target, 16k] on its longest side — a no-op for any
+    # real face (reference op point: s ≈ 0.4–2).
+    w0, h0 = img_size
+    longest = max(float(w0), float(h0), 1.0)
+    s = float(np.clip(s, target_size / longest, 16384.0 / longest))
     return {"t": t, "s": s, "img_size": tuple(img_size),
             "target_size": target_size}
 

@@ -154,10 +154,16 @@ def crop_face(img: np.ndarray, center, scale: float,
     (bilinear, torch semantics). img [H, W, 3] float 0..255."""
     from ..data.mtov_dataset import bilinear_resize
 
-    side = int(round(200.0 * scale))
-    cx, cy = int(round(center[0])), int(round(center[1]))
-    x0, y0 = cx - side // 2, cy - side // 2
     h, w = img.shape[:2]
+    # clamp the crop to a sane multiple of the frame: degenerate detections
+    # (wild landmarks from an untrained net, a collapsed track) otherwise
+    # request a crop of arbitrary size — seen as a 280 GiB canvas allocation
+    side = int(round(200.0 * scale))
+    side = max(8, min(side, 4 * max(h, w)))
+    cx, cy = int(round(center[0])), int(round(center[1]))
+    cx = max(-2 * w, min(cx, 3 * w))
+    cy = max(-2 * h, min(cy, 3 * h))
+    x0, y0 = cx - side // 2, cy - side // 2
     canvas = np.zeros((side, side, 3), np.float32)
     sx0, sy0 = max(x0, 0), max(y0, 0)
     sx1, sy1 = min(x0 + side, w), min(y0 + side, h)

@@ -126,3 +126,13 @@ def test_fan_landmarker_tracks(tmp_path):
     lm = tracker(frames)
     assert lm.shape == (2, 68, 2)
     assert np.isfinite(lm).all()
+
+
+def test_crop_face_degenerate_scale_bounded():
+    """A collapsed/garbage detection must not request an unbounded canvas
+    (regression: 280 GiB allocation from scale ~790 in bench_e2e)."""
+    img = np.zeros((64, 80, 3), np.float32)
+    out = fan.crop_face(img, center=(1e7, -1e7), scale=1e4)
+    assert out.shape == (256, 256, 3)
+    out = fan.crop_face(img, center=(40, 32), scale=1e-9)
+    assert out.shape == (256, 256, 3)

@@ -141,3 +141,18 @@ def test_reconstructor_pipeline(tmp_path):
     fn = recon.coeff_fn()
     out = fn(frames, align.lm68_to_lm5(lm68))
     assert out.shape == (3, 257)
+
+
+def test_crop_params_degenerate_landmarks_bounded():
+    """Collapsed lm5 -> POS scale explodes; the resize target must stay
+    within int32/PIL bounds (regression from bench_e2e)."""
+    from moditalker_tpu.preprocess import align
+
+    lm5 = np.full((5, 2), 10.0)  # all five points identical
+    lm5_3d = np.random.default_rng(0).normal(size=(5, 3))
+    p = align.crop_params((128, 96), lm5, lm5_3d)
+    w, h = p["img_size"]
+    assert 1 <= int(w * p["s"]) <= 16384
+    assert 1 <= int(h * p["s"]) <= 16384
+    box = align.crop_box(p)
+    assert all(abs(v) < 10**6 for v in box)
