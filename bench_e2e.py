@@ -119,11 +119,16 @@ def main():
     ident_kp = rng.normal(scale=0.3, size=(68, 3)).astype(np.float32)
 
     # ---------------- stage 1: audio → hubert features ---------------------
+    # warmup: the chunked forward compiles one program per distinct chunk
+    # length (full 10 s chunks + the remainder); steady state is what a
+    # serving process pays per utterance
+    hub_fn = lambda w: np.asarray(hub_apply(hub_params, jnp.asarray(w)),
+                                  np.float32)[0]
+    _ = audio_pp.extract_hubert_features(
+        audio_pp.normalize_like_wav2vec2(wave), hub_fn)
     t0 = time.perf_counter()
     feats = audio_pp.extract_hubert_features(
-        audio_pp.normalize_like_wav2vec2(wave),
-        lambda w: np.asarray(hub_apply(hub_params, jnp.asarray(w)),
-                             np.float32)[0])
+        audio_pp.normalize_like_wav2vec2(wave), hub_fn)
     stages["hubert"] = time.perf_counter() - t0
     log(f"hubert {stages['hubert']:.2f}s → {feats.shape}")
 
@@ -138,6 +143,8 @@ def main():
     log(f"atom {stages['atom']:.2f}s → {lm3d.shape}")
 
     # ---------------- stage 3: motion alignment (FAN + recon) --------------
+    # warmup: compile the FAN and recon programs on a 2-frame slice
+    _ = aligner.align_sequence(lm3d[0][:2], driving[:2])
     t0 = time.perf_counter()
     aligned = aligner.align_sequence(lm3d[0], driving)
     stages["align"] = time.perf_counter() - t0
@@ -162,22 +169,24 @@ def main():
             }
 
     n_windows = HORIZON // ae_cfg.timesteps
-    # warmup compile on the first window
-    w0 = next(iter(windows()))
-    _ = np.asarray(pipe.sample_window(
-        jnp.asarray(w0["x_l"]), jnp.asarray(w0["masked_x"]),
-        jnp.asarray(w0["x_ref"]), key))
+
+    def two_windows():
+        it = iter(windows())
+        yield next(it)
+        yield next(it)
+
+    # warmup: sample_long itself with >=2 windows (the first window and the
+    # chained last-frame-as-reference windows compile different program
+    # variants; warming sample_window alone is not enough)
+    _ = pipe.sample_long(two_windows(), key, use_last_as_reference=True)
     t0 = time.perf_counter()
     frames = pipe.sample_long(windows(), key, use_last_as_reference=True)
     stages["mtov"] = time.perf_counter() - t0
     log(f"mtov {stages['mtov']:.2f}s → {frames.shape} ({n_windows} windows)")
 
     # fast AR mode (noised start 0.25 → 25 denoise steps)
-    w0 = next(iter(windows()))
-    _ = np.asarray(pipe.sample_window(
-        jnp.asarray(w0["x_l"]), jnp.asarray(w0["masked_x"]),
-        jnp.asarray(w0["x_ref"]), key, gt_video=jnp.asarray(w0["x"]),
-        noised_start_ratio=0.25))
+    _ = pipe.sample_long(two_windows(), key, use_last_as_reference=True,
+                         noised_start_ratio=0.25)
     t0 = time.perf_counter()
     frames_fast = pipe.sample_long(windows(), key,
                                    use_last_as_reference=True,
