@@ -88,12 +88,32 @@ def main():
     fan_params = jax.jit(fan_model.init)(key, jnp.zeros((1, 256, 256, 3)))
     fan = FanLandmarker(fan_params)
 
+    from moditalker_tpu.preprocess.s3fd import S3FD, S3FDDetector
+
+    s3_model = S3FD()
+    s3_params = jax.jit(s3_model.init)(key, jnp.zeros((1, 256, 256, 3)))
+    s3_det = S3FDDetector(s3_params)
+
+    def landmark_fn(frames_u8):
+        # the reference detects + landmarks every frame independently
+        # (align_face_recon.py:155-163) — both nets batch over frames.
+        # Random S3FD weights rarely clear the detection threshold, so the
+        # timed path pays the real batched detector forward and falls back
+        # to fixed boxes for the FAN crops (identical FLOPs to detections).
+        boxes = s3_det.boxes_for_frames(frames_u8)
+        if boxes is None:
+            t = frames_u8.shape[0]
+            h, w = frames_u8.shape[1:3]
+            boxes = np.tile(np.array(
+                [[w * 0.22, h * 0.22, w * 0.78, h * 0.78]]), (t, 1))
+        return fan.landmarks_batched(frames_u8, boxes)
+
     recon_model = ReconNet()
     recon_params = jax.jit(recon_model.init)(key,
                                              jnp.zeros((1, 224, 224, 3)))
     lm3d_std = synthetic_lm3d_std()
     recon = Reconstructor(recon_params, lm3d_std)
-    aligner = MotionAligner(fan, recon.coeff_fn(), lm3d_std)
+    aligner = MotionAligner(landmark_fn, recon.coeff_fn(), lm3d_std)
 
     ae_cfg = MtovAEConfig()
     unet_cfg = MtovUNetConfig()
