@@ -130,15 +130,20 @@ def heatmaps_to_landmarks(heatmaps: np.ndarray, center=None,
     idx = hm.argmax(axis=-1)
     xs = (idx % ww).astype(np.float64)
     ys = (idx // ww).astype(np.float64)
-    # sub-pixel shift
-    for bi in range(b):
-        for ni in range(n):
-            x, y = int(xs[bi, ni]), int(ys[bi, ni])
-            hmap = heatmaps[bi, :, :, ni]
-            if 0 < x < ww - 1:
-                xs[bi, ni] += 0.25 * np.sign(hmap[y, x + 1] - hmap[y, x - 1])
-            if 0 < y < hh - 1:
-                ys[bi, ni] += 0.25 * np.sign(hmap[y + 1, x] - hmap[y - 1, x])
+    # sub-pixel shift, vectorized over (b, 68) — the original per-point
+    # python loop was ~10k iterations per 156-frame alignment call
+    xi = (idx % ww).astype(np.intp)
+    yi = (idx // ww).astype(np.intp)
+    bidx = np.arange(b, dtype=np.intp)[:, None]
+    nidx = np.arange(n, dtype=np.intp)[None, :]
+    right = heatmaps[bidx, yi, np.minimum(xi + 1, ww - 1), nidx]
+    left = heatmaps[bidx, yi, np.maximum(xi - 1, 0), nidx]
+    below = heatmaps[bidx, np.minimum(yi + 1, hh - 1), xi, nidx]
+    above = heatmaps[bidx, np.maximum(yi - 1, 0), xi, nidx]
+    in_x = (xi > 0) & (xi < ww - 1)
+    in_y = (yi > 0) & (yi < hh - 1)
+    xs += 0.25 * np.sign(right - left) * in_x
+    ys += 0.25 * np.sign(below - above) * in_y
     pts = np.stack([xs, ys], axis=-1) + 0.5  # pixel centers
     if center is not None and scale is not None:
         # map 64² heatmap coords to image coords: crop of size 200*scale
