@@ -171,8 +171,9 @@ class AtomDiffusion:
         key, k_q = jax.random.split(key)
 
         def constraint(x, t):
-            noise = jax.random.fold_in(k_q, 0)  # static key; per-t noise via t
-            n = jax.random.normal(jax.random.fold_in(k_q, 1), x.shape, x.dtype)
+            # fresh noise every ancestral step (ref diffusion.py:303-340 draws
+            # torch.randn per step) — fold the (traced) timestep into the key
+            n = jax.random.normal(jax.random.fold_in(k_q, t), x.shape, x.dtype)
             t_vec = jnp.maximum(
                 jnp.full((x.shape[0],), t - 1, dtype=jnp.int32), 0)
             value_t = dcore.q_sample(self.sched, value, t_vec, n)

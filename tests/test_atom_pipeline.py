@@ -129,3 +129,50 @@ def test_atom_inpaint_loop():
                          mask, value)
     assert out.shape == (1, SMALL.horizon, 204)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_inpaint_renoise_differs_across_steps(monkeypatch):
+    """The masked region must be re-noised with FRESH noise each ancestral
+    step (ref AToM/model/diffusion.py:303-340 draws torch.randn per step;
+    round 2 froze one draw for all steps — VERDICT r2 weak #4). Capture the
+    constraint closure inpaint_loop hands to p_sample_loop, evaluate it at
+    two timesteps, and recover the implied noise from the q_sample identity
+    value_t = sqrt_ac[t-1]*value + sqrt_1mac[t-1]*noise. Under the frozen-
+    noise bug the implied noise is identical across t; fixed, it differs."""
+    import moditalker_tpu.core.diffusion as dcore
+    import moditalker_tpu.models.atom.diffusion as atom_diff_mod
+
+    diff = AtomDiffusionConfig(n_timesteps=10, sampling_steps=2)
+    from moditalker_tpu.models.atom import AtomDiffusion
+    d = AtomDiffusion.create(SMALL, diff)
+    key = jax.random.PRNGKey(0)
+    face = jnp.zeros((1, SMALL.horizon, 204))
+    cond = jnp.zeros((1, SMALL.horizon * 2, 1024))
+    params = jax.jit(d.model.init)(key, face, face, cond,
+                                   jnp.zeros((1,), jnp.int32))
+    mask = jnp.ones((1, SMALL.horizon, 204))
+    value = jnp.full((1, SMALL.horizon, 204), 0.5)
+
+    captured = {}
+    orig = dcore.p_sample_loop
+
+    def spy(*args, **kwargs):
+        captured["post_step_fn"] = kwargs.get("post_step_fn")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(atom_diff_mod.dcore, "p_sample_loop", spy)
+    d.inpaint_loop(params, key, (1, SMALL.horizon, 204), face, cond,
+                   mask, value, start_point=2)
+    constraint = captured["post_step_fn"]
+    assert constraint is not None
+
+    x = jnp.zeros_like(value)
+
+    def implied_noise(t):
+        v_t = constraint(x, jnp.asarray(t, jnp.int32))
+        sac = d.sched.sqrt_alphas_cumprod[t - 1]
+        s1m = d.sched.sqrt_one_minus_alphas_cumprod[t - 1]
+        return (v_t - sac * value) / s1m
+
+    n5, n6 = implied_noise(5), implied_noise(6)
+    assert float(jnp.max(jnp.abs(n5 - n6))) > 0.1
