@@ -294,43 +294,15 @@ def cmd_golden(args):
 
 
 def cmd_convert(args):
-    """torch reference checkpoint → orbax params tree."""
-    import torch
-
+    """torch reference checkpoint → orbax params tree. One registry shared
+    with the golden harness (golden._converter) so dispatch stays in sync."""
+    from . import golden
     from .core.checkpoint import save_single
-    from .utils import torch_port
 
-    raw = torch.load(args.torch_ckpt, map_location="cpu",
-                     weights_only=False)
-    # AToM checkpoints wrap the state_dict (AToM/AToM.py:188-192)
-    if isinstance(raw, dict) and "ema_state_dict" in raw:
-        raw = raw["ema_state_dict" if args.ema else "model_state_dict"]
-    sd = {k.replace("module.", ""): v.detach().numpy()
-          for k, v in raw.items()}
-    converters = {
-        "atom": torch_port.convert_atom_decoder,
-        "vit-autoencoder": torch_port.convert_vit_autoencoder,
-        "triplane-unet": torch_port.convert_triplane_unet,
-        "recon-resnet50": None,
-        "i3d": None,
-        "hubert": None,
-        "fan": None,
-    }
-    if args.kind == "recon-resnet50":
-        from .preprocess.recon_net import convert_recon_net as fn
-    elif args.kind == "i3d":
-        from .evals.i3d import convert_i3d as fn
-    elif args.kind == "hubert":
-        from .preprocess.hubert import HubertConfig, convert_hubert
-
-        fn = lambda s: convert_hubert(s, HubertConfig())
-    elif args.kind == "fan":
-        from .preprocess.fan import convert_fan as fn
-    elif args.kind == "s3fd":
-        from .preprocess.s3fd import convert_s3fd as fn
-    else:
-        fn = converters[args.kind]
-    tree = fn(sd)
+    sd = golden.load_torch_state_dict(args.torch_ckpt, ema=args.ema)
+    ctx = {"ckpt_dir": os.path.dirname(args.torch_ckpt) or ".",
+           "vgg16_path": args.vgg16}
+    tree = golden._converter(args.kind)(sd, ctx)
     save_single(args.out, tree)
     print(f"converted {args.kind}: {args.out}")
 
@@ -422,10 +394,13 @@ def main(argv=None):
     p.add_argument("--kind", required=True,
                    choices=["atom", "vit-autoencoder", "triplane-unet",
                             "recon-resnet50", "i3d", "hubert", "fan",
-                            "s3fd"])
+                            "s3fd", "lpips"])
     p.add_argument("--out", required=True)
     p.add_argument("--ema", action="store_true",
                    help="for atom ckpts: take ema_state_dict")
+    p.add_argument("--vgg16", default=None,
+                   help="lpips: torchvision vgg16 weights file (the trunk; "
+                        "--torch-ckpt is the richzhang lin-head vgg.pth)")
     p.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
