@@ -14,6 +14,7 @@ moditalker_tpu.cli <command>``:
   AToM/inference.py                  | atom-infer
   data/.../process_audio.py          | process-audio
   data/.../align_face_recon.py       | align-motion
+  data/.../process_video_3dmm_*.py   | extract-keypoints
 
 All commands accept ``--synthetic`` to run on generated data (smoke
 training without the HDTF/LRS3 corpora), and ``--steps`` to bound the run.
@@ -277,6 +278,59 @@ def cmd_sample(args):
     print(f"video: {out}")
 
 
+def _detector_args(p):
+    p.add_argument("--s3fd-ckpt", default=None,
+                   help="converted S3FD params (convert-checkpoint s3fd)")
+    p.add_argument("--fan-ckpt", default=None,
+                   help="converted FAN params (convert-checkpoint fan)")
+    p.add_argument("--recon-ckpt", default=None,
+                   help="converted recon ResNet-50 params")
+    p.add_argument("--bfm-dir", default=None,
+                   help="BFM asset dir (similarity_Lm3D_all.mat etc.)")
+    p.add_argument("--synthetic-detectors", action="store_true",
+                   help="deterministic stand-in detectors (no checkpoints; "
+                        "plumbing smoke runs)")
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--total", type=int, default=1,
+                   help="total processes striping the corpus "
+                        "(ref batchify.py:282-288)")
+    p.add_argument("--no-resume", action="store_true")
+
+
+def cmd_align_motion(args):
+    """AToM→MToV glue (ref align_face_recon.py:240-348)."""
+    from .preprocess.drivers import align_motion_corpus, build_detectors
+
+    landmark_fn, coeff_fn, lm3d_std, _ = build_detectors(
+        args.s3fd_ckpt, args.fan_ckpt, args.recon_ckpt, args.bfm_dir,
+        synthetic=args.synthetic_detectors)
+    written = align_motion_corpus(
+        args.frontalized_dir, args.frames_dir, args.out_dir,
+        landmark_fn, coeff_fn, lm3d_std,
+        process_id=args.process_id, total_processes=args.total,
+        resume=not args.no_resume)
+    total = sum(written.values())
+    print(f"aligned {total} frames across {len(written)} identities "
+          f"→ {os.path.join(args.out_dir, 'aligned_npy')}")
+
+
+def cmd_extract_keypoints(args):
+    """Training-data keypoint trees (ref batchify.py:253-321)."""
+    from .preprocess.drivers import build_detectors, extract_keypoints_corpus
+
+    landmark_fn, coeff_fn, lm3d_std, helper = build_detectors(
+        args.s3fd_ckpt, args.fan_ckpt, args.recon_ckpt, args.bfm_dir,
+        synthetic=args.synthetic_detectors)
+    written = extract_keypoints_corpus(
+        args.frames_dir, args.out_dir, landmark_fn, coeff_fn, helper,
+        lm3d_std, batch_size=args.batch_size or 16,
+        process_id=args.process_id, total_processes=args.total,
+        resume=not args.no_resume)
+    total = sum(written.values())
+    print(f"extracted keypoints for {total} frames across "
+          f"{len(written)} identities → {args.out_dir}")
+
+
 def cmd_golden(args):
     from . import golden
 
@@ -371,6 +425,26 @@ def main(argv=None):
     p.add_argument("--out-dir", default="runs/sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("align-motion",
+                       help="AToM frontalized landmarks → pose-matched "
+                            "aligned_npy for MToV")
+    p.add_argument("--frontalized-dir", required=True,
+                   help="frontalized_npy root (atom-infer output)")
+    p.add_argument("--frames-dir", required=True,
+                   help="pose-driving frames root ({id}/*.jpg)")
+    p.add_argument("--out-dir", required=True)
+    _detector_args(p)
+    p.set_defaults(fn=cmd_align_motion)
+
+    p = sub.add_parser("extract-keypoints",
+                       help="training keypoint-set trees from a frame corpus")
+    p.add_argument("--frames-dir", required=True,
+                   help="frames root ({id}/*.jpg)")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=16)
+    _detector_args(p)
+    p.set_defaults(fn=cmd_extract_keypoints)
 
     p = sub.add_parser("golden",
                        help="real-checkpoint golden harness "
