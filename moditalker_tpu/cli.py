@@ -82,6 +82,12 @@ def cmd_train_atom(args):
 
 
 def cmd_train_first_stage(args):
+    import itertools
+
+    import jax
+
+    from .core.checkpoint import CheckpointManager
+    from .core.logging import MetricLogger
     from .data.mtov_dataset import HDTFFramesDataset, synthetic_mtov_batch
     from .train.mtov_first_stage import FirstStageTrainer
 
@@ -93,30 +99,63 @@ def cmd_train_first_stage(args):
     trainer = FirstStageTrainer(
         cfg.mtov_ae, cfg.mtov_loss, tc,
         freeze_decoder=args.landmark)
+    vkey = "x_l" if args.landmark else "x"
     if args.synthetic or args.data_root is None:
         batch = synthetic_mtov_batch(
             tc.batch_size, resolution=cfg.mtov_ae.resolution,
             timesteps=cfg.mtov_ae.timesteps, seed=args.seed)
-        src = iter(lambda: batch, None)
+        src = itertools.repeat(batch)
+        eval_videos = [batch[vkey]]
     else:
         ds = HDTFFramesDataset(args.data_root, args.kpt_root,
                                resolution=cfg.mtov_ae.resolution,
                                nframes=cfg.mtov_ae.timesteps)
         src = ds.batches(tc.batch_size, seed=args.seed)
-    for i, b in enumerate(src):
-        key = "x_l" if args.landmark else "x"
-        m = trainer.step(b[key])
-        if i % 10 == 0:
-            k, v = next(iter(m.items()))
-            print(f"step {i}: {k} {float(v):.4f}")
-        if i + 1 >= args.steps:
-            break
-    _save_state(trainer.state, args.out_dir,
-                "ae_ldmk" if args.landmark else "ae_rgb")
+        eval_videos = [next(ds.batches(tc.batch_size, seed=args.seed + 1))
+                       [vkey] for _ in range(2)]
+
+    # PSNR (+ rFVD when --i3d given) probes at the reference cadence
+    # (tools/trainer.py:232-239: every 2000 it)
+    from .evals.loops import eval_ae_psnr, eval_ae_rfvd
+
+    i3d_apply = _load_i3d(args.i3d) if args.i3d else None
+
+    def eval_fn(tr):
+        recon = jax.jit(
+            lambda p, v: tr.ae.apply(p, v)[0])
+
+        def ae_apply(v):
+            import jax.numpy as jnp
+
+            return recon(tr.state.ae_params, jnp.asarray(v))
+
+        out = {"eval_psnr": eval_ae_psnr(ae_apply, iter(eval_videos))}
+        if i3d_apply is not None:
+            out["eval_rfvd"] = eval_ae_rfvd(ae_apply, iter(eval_videos),
+                                            i3d_apply)
+        print("probe: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    name = "ae_ldmk" if args.landmark else "ae_rgb"
+    logger = MetricLogger(os.path.join(args.out_dir, "logs"))
+    ckpt = CheckpointManager(os.path.join(args.out_dir, name + "_ckpt"))
+    trainer.fit(({vkey: b[vkey]} for b in src), max_steps=args.steps,
+                logger=logger, ckpt_manager=ckpt,
+                eval_every=args.eval_every, eval_fn=eval_fn,
+                log_every=10)
+    _save_state(trainer.state, args.out_dir, name)
 
 
 def cmd_train_diffusion(args):
-    from .train.mtov import MtovDiffusionTrainer
+    """Second stage: frozen AEs + HDTF frames through LatentDiffusionLoop
+    (ref scripts/train/second_stg.sh → exps/diffusion.py:56-177 →
+    trainer.py:23-131). ``--latents-only`` keeps the synthetic-latent smoke
+    mode (no AEs in the program)."""
+    import itertools
+
+    import jax
+
+    from .train.mtov import LatentDiffusionLoop, MtovDiffusionTrainer
 
     cfg = _cfg(args)
     tc = dataclasses.replace(cfg.mtov_train, seed=args.seed)
@@ -124,18 +163,96 @@ def cmd_train_diffusion(args):
     L = uc.latent_res**2 + 2 * uc.latent_t * uc.latent_res
     trainer = MtovDiffusionTrainer(uc, cfg.mtov_diffusion, train_cfg=tc,
                                    latent_len=L)
-    rng = np.random.default_rng(args.seed)
     b = args.batch_size or tc.diffusion_batch_size
-    batch = {
-        "z": np.tanh(rng.normal(size=(b, 4, L))).astype(np.float32),
-        "cond": rng.normal(size=(b, 8, L)).astype(np.float32),
-        "image_cond": rng.normal(size=(b, 4, L)).astype(np.float32),
-    }
-    for i in range(args.steps):
-        m = trainer.step(batch)
-        if i % 10 == 0:
-            print(f"step {i}: loss {float(m['loss']):.4f}")
-    _save_state(trainer.state, args.out_dir, "diffusion")
+    if args.latents_only:
+        rng = np.random.default_rng(args.seed)
+        batch = {
+            "z": np.tanh(rng.normal(size=(b, 4, L))).astype(np.float32),
+            "cond": rng.normal(size=(b, 8, L)).astype(np.float32),
+            "image_cond": rng.normal(size=(b, 4, L)).astype(np.float32),
+        }
+        for i in range(args.steps):
+            m = trainer.step(batch)
+            if i % 10 == 0:
+                print(f"step {i}: loss {float(m['loss']):.4f}")
+        _save_state(trainer.state, args.out_dir, "diffusion")
+        return
+
+    # real second stage: frozen AEs over video batches
+    from .core.checkpoint import CheckpointManager
+    from .core.logging import MetricLogger
+    from .data.mtov_dataset import HDTFFramesDataset, synthetic_mtov_batch
+    from .evals.metrics import video_psnr
+    from .models.mtov import ViTAutoencoder
+
+    ae_cfg = cfg.mtov_ae
+    ae = ViTAutoencoder(ae_cfg)
+
+    def _ae_params(path, tag):
+        from .core.checkpoint import load_single
+
+        if path:
+            tree = load_single(path)
+            # accept either raw params or a saved first-stage state
+            return tree.get("ae_params", tree) if isinstance(tree, dict) \
+                and "ae_params" in tree else tree
+        print(f"WARNING: random {tag} AE weights", file=sys.stderr)
+        import jax.numpy as jnp
+
+        v = jnp.zeros((1, ae_cfg.timesteps, ae_cfg.resolution,
+                       ae_cfg.resolution, 3))
+        return jax.jit(ae.init)(jax.random.PRNGKey(hash(tag) % 2**31), v)
+
+    loop = LatentDiffusionLoop(trainer, ae, _ae_params(args.ae_rgb, "rgb"),
+                               _ae_params(args.ae_ldmk, "ldmk"))
+    if args.synthetic or args.data_root is None:
+        batch = synthetic_mtov_batch(b, resolution=ae_cfg.resolution,
+                                     timesteps=ae_cfg.timesteps,
+                                     seed=args.seed)
+        batches = itertools.repeat(batch)
+        probe_batch = batch
+    else:
+        ds = HDTFFramesDataset(args.data_root, args.kpt_root,
+                               resolution=ae_cfg.resolution,
+                               nframes=ae_cfg.timesteps)
+        batches = ds.batches(b, seed=args.seed)
+        probe_batch = next(ds.batches(b, seed=args.seed + 1))
+
+    logger = MetricLogger(os.path.join(args.out_dir, "logs"))
+    ckpt = CheckpointManager(os.path.join(args.out_dir, "diffusion_ema"))
+    i3d_apply = _load_i3d(args.i3d) if args.i3d else None
+
+    def eval_fn(lp, it):
+        key = jax.random.PRNGKey(args.seed + it)
+        gen = np.asarray(lp.sample(probe_batch, key))
+        out = {"sample_psnr": video_psnr(probe_batch["x"], gen)}
+        if i3d_apply is not None:
+            from .evals.fvd import compute_fvd
+            from .evals.loops import _to_u8
+
+            out["sample_fvd"] = compute_fvd(
+                i3d_apply, _to_u8(probe_batch["x"]), _to_u8(gen),
+                batch=min(8, gen.shape[0]))
+        print(f"probe @{it}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    loop.fit(batches, max_steps=args.steps, logger=logger,
+             ckpt_manager=ckpt, ckpt_every=args.ckpt_every,
+             eval_every=args.eval_every, eval_fn=eval_fn)
+    print(f"EMA checkpoints: {os.path.join(args.out_dir, 'diffusion_ema')}")
+
+
+def _load_i3d(path):
+    """Converted I3D params → logits apply fn for FVD probes."""
+    import jax
+
+    from .core.checkpoint import load_single
+    from .evals.i3d import InceptionI3d
+
+    model = InceptionI3d()
+    params = load_single(path)
+    return jax.jit(lambda v: model.apply(params, v))
 
 
 def _read_wav(path: str) -> np.ndarray:
@@ -386,10 +503,28 @@ def main(argv=None):
     p.add_argument("--landmark", action="store_true",
                    help="landmark-AE variant (first_stage_ldmk)")
     p.add_argument("--kpt-root", type=str, default=None)
+    p.add_argument("--i3d", default=None,
+                   help="converted I3D params → rFVD probe (ref test_ifvd)")
+    p.add_argument("--eval-every", type=int, default=2000,
+                   help="PSNR/rFVD probe + ckpt cadence "
+                        "(ref trainer.py:232-257)")
     p.set_defaults(fn=cmd_train_first_stage)
 
     p = sub.add_parser("train-diffusion")
     _add_common(p)
+    p.add_argument("--kpt-root", type=str, default=None)
+    p.add_argument("--ae-rgb", default=None,
+                   help="converted/first-stage RGB AE params")
+    p.add_argument("--ae-ldmk", default=None,
+                   help="converted/first-stage landmark AE params")
+    p.add_argument("--latents-only", action="store_true",
+                   help="synthetic-latent smoke mode (no AEs)")
+    p.add_argument("--i3d", default=None,
+                   help="converted I3D params → real sample-FVD probe")
+    p.add_argument("--ckpt-every", type=int, default=1000,
+                   help="EMA-save cadence (ref trainer.py:122-124)")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="probe cadence (default: same as --ckpt-every)")
     p.set_defaults(fn=cmd_train_diffusion)
 
     p = sub.add_parser("process-audio")

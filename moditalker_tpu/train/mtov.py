@@ -167,8 +167,34 @@ class LatentDiffusionLoop:
 
         self._fused = jax.jit(fused, donate_argnums=(0,))
 
+        def sample_probe(ema_params, pr, pl, batch, key):
+            """EMA DDIM sample conditioned on the batch, decoded to video —
+            the in-training sample probe (the reference dumps gifs and stubs
+            the FVD at this cadence, evals/eval.py:240; we return the video
+            so callers can compute PSNR/FVD for real)."""
+            latents = extract_latents(ae, pr, pl, batch)
+            z = latents["z"]
+            lat = trainer.ddpm.ddim_sample(
+                ema_params, key, z.shape, latents["cond"],
+                latents["image_cond"])
+            return ae.apply(pr, lat, method=ae.decode_from_sample)
+
+        self._sample_probe = jax.jit(sample_probe)
+
+    def sample(self, batch, key):
+        """Generated video [B,T,H,W,3] for a training-format batch dict."""
+        dev = shard_lib.shard_batch(dict(batch), self.trainer.mesh)
+        return self._sample_probe(
+            self.trainer.state.ema_params, self.ae_rgb_params,
+            self.ae_ldmk_params, dev, key)
+
     def fit(self, batches, max_steps: int, logger=None, ckpt_manager=None,
-            ckpt_every: int = 1000, log_every: int = 50):
+            ckpt_every: int = 1000, log_every: int = 50,
+            eval_every: int | None = None, eval_fn=None):
+        """``eval_fn(loop, it) -> dict`` runs every ``eval_every`` steps
+        (defaults to ckpt_every — the reference probes and checkpoints at
+        the same it%1000 cadence, trainer.py:122-130)."""
+        eval_every = ckpt_every if eval_every is None else eval_every
         it = 0
         for batch in shard_lib.device_prefetch(batches, self.trainer.mesh):
             self.trainer._key, sub = jax.random.split(self.trainer._key)
@@ -179,6 +205,10 @@ class LatentDiffusionLoop:
             if logger is not None and it % log_every == 0:
                 logger.log_scalars(it, {k: float(v)
                                         for k, v in metrics.items()})
+            if eval_fn is not None and it % eval_every == 0:
+                probe = eval_fn(self, it)
+                if logger is not None and probe:
+                    logger.log_scalars(it, probe)
             if ckpt_manager is not None and it % ckpt_every == 0:
                 from ..core.checkpoint import host_tree
 
