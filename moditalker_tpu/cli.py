@@ -334,7 +334,8 @@ def cmd_atom_infer(args):
         kp = np.load(os.path.join(args.keypoint_dir, name, "00000.npy"))
         hub = np.load(args.hubert)
         identities[name] = (kp, hub)
-    paths = pipe.run_directory(identities, args.out_dir, seed=args.seed)
+    paths = pipe.run_directory(identities, args.out_dir, seed=args.seed,
+                               batch=args.batch)
     for n, p in paths.items():
         print(f"{n}: {p}")
 
@@ -383,13 +384,35 @@ def cmd_sample(args):
     pipe = MtovSamplePipeline(
         _load(args.ae_rgb, init_ae), _load(args.ae_ldmk, init_ae),
         _load(args.diffusion_model, init_unet), ae_cfg, unet_cfg, diff_cfg)
-    ds = SequentialWindowDataset(args.frames_dir, args.aligned_dir,
-                                 nframes=ae_cfg.timesteps,
-                                 resolution=ae_cfg.resolution)
-    frames = pipe.sample_long(
-        ds.windows(), jax.random.PRNGKey(args.seed),
-        use_last_as_reference=not args.no_last_as_reference,
-        noised_start_ratio=args.noised_start_ratio)
+    if args.cross_id:
+        if not (args.audio_id and args.ref_id):
+            sys.exit("--cross-id needs --audio-id and --ref-id; then "
+                     "--aligned-dir is the cross_id aligned_npy ROOT and "
+                     "--frames-dir the frames ROOT "
+                     "(ref dataloader_sample_crossID.py:31,187-189)")
+        ds = SequentialWindowDataset.cross_id(
+            args.aligned_dir, args.audio_id, args.ref_id, args.frames_dir,
+            kpt_root=args.kpt_root, nframes=ae_cfg.timesteps,
+            resolution=ae_cfg.resolution)
+    else:
+        ds = SequentialWindowDataset(args.frames_dir, args.aligned_dir,
+                                     nframes=ae_cfg.timesteps,
+                                     resolution=ae_cfg.resolution,
+                                     kpt_dir=args.kpt_dir)
+    key = jax.random.PRNGKey(args.seed)
+    if args.batch > 1:
+        if not args.no_last_as_reference:
+            sys.exit("--batch > 1 batches INDEPENDENT windows; it requires "
+                     "--no-last-as-reference (the AR reference chain "
+                     "serializes windows)")
+        frames = pipe.sample_independent(
+            ds.windows(), key, batch=args.batch,
+            noised_start_ratio=args.noised_start_ratio)
+    else:
+        frames = pipe.sample_long(
+            ds.windows(), key,
+            use_last_as_reference=not args.no_last_as_reference,
+            noised_start_ratio=args.noised_start_ratio)
     out = write_video(frames[0], os.path.join(args.out_dir, "sample.mp4"),
                       fps=25, audio_path=args.audio)
     print(f"video: {out}")
@@ -542,13 +565,32 @@ def main(argv=None):
     p.add_argument("--bfm-dir", default=None)
     p.add_argument("--out-dir", default="runs/atom_infer")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=None,
+                   help="identities per device dispatch (default: all)")
     p.set_defaults(fn=cmd_atom_infer)
 
     p = sub.add_parser("sample")
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--frames-dir", required=True)
+    p.add_argument("--frames-dir", required=True,
+                   help="identity frames dir; with --cross-id: frames ROOT")
     p.add_argument("--aligned-dir", required=True,
-                   help="aligned_npy/{id} dir (cross-ID: another identity's)")
+                   help="aligned_npy/{id} dir; with --cross-id: the "
+                        "cross_id aligned_npy ROOT "
+                        "(…/audio_{a}/id_{r} resolved from it)")
+    p.add_argument("--cross-id", action="store_true",
+                   help="reference cross-ID layout (landmarks follow the "
+                        "audio identity, frames the reference identity)")
+    p.add_argument("--audio-id", default=None)
+    p.add_argument("--ref-id", default=None)
+    p.add_argument("--kpt-dir", default=None,
+                   help="identity training keypoints for the pose mask "
+                        "(ref dataloader_sample.py:216); default: mask with "
+                        "the aligned landmarks")
+    p.add_argument("--kpt-root", default=None,
+                   help="cross-ID: training-keypoint ROOT for the mask")
+    p.add_argument("--batch", type=int, default=1,
+                   help="windows per device dispatch (requires "
+                        "--no-last-as-reference)")
     p.add_argument("--ae-rgb", default=None)
     p.add_argument("--ae-ldmk", default=None)
     p.add_argument("--diffusion-model", default=None)

@@ -276,16 +276,19 @@ class SequentialWindowDataset:
     (ref tools/dataloader_sample.py:181-250; __len__ = total // nframes).
 
     ``frames_dir``: directory of jpg/png frames; ``aligned_dir``: directory
-    of per-frame [68, 2] .npy landmark files (motion-align output).
-    For cross-ID sampling pass a DIFFERENT identity's frames_dir than the
-    aligned_dir (ref dataloader_sample_crossID.py:31,187-189 — landmarks
-    follow the driving audio identity, frames the reference identity).
+    of per-frame [68, 2] .npy landmark files (motion-align output);
+    ``kpt_dir`` (optional): the identity's TRAINING keypoints
+    (non-face-centric/posed) used for the pose mask — the reference masks
+    with these, not with the aligned landmarks, at sample time too
+    (dataloader_sample.py:216, dataloader_sample_crossID.py:216). Without
+    ``kpt_dir`` the aligned landmarks mask (self-recon equivalent).
     """
 
     def __init__(self, frames_dir: str, aligned_dir: str, nframes: int = 16,
-                 resolution: int = 256):
+                 resolution: int = 256, kpt_dir: str | None = None):
         self.frames_dir = frames_dir
         self.aligned_dir = aligned_dir
+        self.kpt_dir = kpt_dir
         self.nframes = nframes
         self.resolution = resolution
         self.frames = sorted(
@@ -295,6 +298,24 @@ class SequentialWindowDataset:
             (f for f in os.listdir(aligned_dir) if f.endswith(".npy")),
             key=natsort_key)
         self.n = min(len(self.frames), len(self.lms))
+
+    @classmethod
+    def cross_id(cls, aligned_root: str, audio_id: str, ref_id: str,
+                 frames_root: str, kpt_root: str | None = None,
+                 nframes: int = 16, resolution: int = 256
+                 ) -> "SequentialWindowDataset":
+        """Reference cross-ID directory convention
+        (dataloader_sample_crossID.py:31,187-189): aligned landmarks at
+        ``{aligned_root}/audio_{audio_id}/id_{ref_id}`` follow the DRIVING
+        AUDIO identity while frames come from ``{frames_root}/{ref_id}``
+        (the reference identity) and the pose mask from that identity's own
+        training keypoints ``{kpt_root}/{ref_id}``."""
+        aligned_dir = os.path.join(aligned_root, f"audio_{audio_id}",
+                                   f"id_{ref_id}")
+        return cls(os.path.join(frames_root, ref_id), aligned_dir,
+                   nframes=nframes, resolution=resolution,
+                   kpt_dir=(os.path.join(kpt_root, ref_id)
+                            if kpt_root else None))
 
     def __len__(self):
         return self.n // self.nframes
@@ -313,9 +334,16 @@ class SequentialWindowDataset:
         ref = np.stack([self._frame(self.frames[0])] * len(clip))
         kpts = np.stack([
             np.load(os.path.join(self.aligned_dir, f)) for f in lm_files])
+        if self.kpt_dir is not None:
+            mask_kpts = np.stack([
+                np.load(os.path.join(
+                    self.kpt_dir, c.rsplit(".", 1)[0] + ".npy"))
+                for c in clip])
+        else:
+            mask_kpts = kpts
         masked = np.stack([
             crop_lower_half(v.astype(np.uint8), k).astype(np.float32)
-            for v, k in zip(vid, kpts)])
+            for v, k in zip(vid, mask_kpts)])
         ldmk = rasterize_landmarks(kpts, size=256,
                                    src_wh=vid.shape[2]).astype(np.float32)
         res = self.resolution

@@ -7,8 +7,9 @@ un-scale (÷10 + key_mean_shape) and write ``frontalized_npy/{id}/atom_*.npy``
 as [T,68,3] float arrays — layout-compatible with the reference output so the
 downstream motion-alignment stage consumes it unchanged.
 
-TPU notes: identities are batched along the leading axis and sharded across
-the data mesh — the reference samples one identity at a time on one GPU.
+TPU notes: ``run_directory`` stacks identities along the leading axis and
+samples each chunk in ONE doubled-batch CFG DDIM dispatch — the reference
+samples one identity at a time on one GPU (inference.py:108).
 """
 
 from __future__ import annotations
@@ -81,22 +82,51 @@ class AtomInferencePipeline:
 
     def run_directory(self, identities: dict[str, tuple], out_dir: str,
                       seed: int = 0, tag: str = "atom",
-                      save_pngs: bool = False) -> dict[str, str]:
+                      save_pngs: bool = False,
+                      batch: int | None = None) -> dict[str, str]:
         """identities: {id: (keypoint ndarray, hubert ndarray)} →
         writes frontalized_npy/{id}/{tag}.npy (+ optional dot-rendered pngs,
-        ref inference.py:164-177), returns paths."""
-        paths = {}
+        ref inference.py:164-177), returns paths.
+
+        Identities are stacked along the leading axis and sampled in chunks
+        of ``batch`` (default: all at once) — ONE doubled-batch CFG DDIM
+        per chunk instead of the reference's per-identity loop; shapes are
+        identical across identities (fixed horizon, hubert padded to
+        2·horizon) so every chunk reuses the same compiled program."""
+        names = sorted(identities)
+        if not names:
+            return {}
+        batch = len(names) if batch is None else max(1, batch)
+        paths: dict[str, str] = {}
         key = jax.random.PRNGKey(seed)
-        for name, (kp, hub) in sorted(identities.items()):
+        for lo in range(0, len(names), batch):
+            chunk = names[lo : lo + batch]
+            n_real = len(chunk)
+            prepped = [prepare_condition(*identities[n],
+                                         self.model_cfg.horizon)
+                       for n in chunk]
+            while len(prepped) < batch:  # pad to the compiled batch shape
+                prepped.append(prepped[-1])
+            face = np.concatenate([f for f, _ in prepped])
+            cond = np.concatenate([c for _, c in prepped])
             key, sub = jax.random.split(key)
-            lm3d = self.generate_landmarks(sub, kp, hub)
-            d = os.path.join(out_dir, "frontalized_npy", name)
-            os.makedirs(d, exist_ok=True)
-            p = os.path.join(d, f"{tag}.npy")
-            np.save(p, lm3d)
-            paths[name] = p
-            if save_pngs:
-                save_landmark_pngs(lm3d, os.path.join(out_dir, "png", name))
+            residual = self.generate_residual(sub, face, cond)
+            out = residual + jnp.asarray(face)       # ref inference.py:155
+            out = out.reshape(out.shape[0], out.shape[1], 68, 3)
+            if self.face3d is not None:
+                out = self.face3d.idexp_to_absolute(out)
+            else:
+                out = out / 10.0
+            out = np.asarray(out)
+            for i, name in enumerate(chunk[:n_real]):
+                d = os.path.join(out_dir, "frontalized_npy", name)
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(d, f"{tag}.npy")
+                np.save(p, out[i])
+                paths[name] = p
+                if save_pngs:
+                    save_landmark_pngs(
+                        out[i], os.path.join(out_dir, "png", name))
         return paths
 
 

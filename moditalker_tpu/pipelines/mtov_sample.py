@@ -104,6 +104,37 @@ class MtovSamplePipeline:
             self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
             ldmk_video, masked_video, ref_video, key)
 
+    def sample_independent(self, windows, key, batch: int = 8,
+                           noised_start_ratio: float | None = None
+                           ) -> np.ndarray:
+        """Batch INDEPENDENT windows along the leading axis — ``batch``
+        windows per device dispatch, one compiled shape (the tail chunk is
+        padded by repetition and trimmed). Valid when each window's
+        reference frame is its own (no last-as-reference AR dependency);
+        this is where per-chip throughput is won over the reference's
+        one-window-at-a-time loop (sample.py:305). Returns [1, n*T, H, W, 3]
+        uint8."""
+        ws = [w for w in windows]
+        if not ws:
+            return np.zeros((1, 0, 0, 0, 3), np.uint8)
+        outs = []
+        for lo in range(0, len(ws), batch):
+            chunk = ws[lo : lo + batch]
+            n_real = len(chunk)
+            while len(chunk) < batch:   # pad to the compiled batch shape
+                chunk.append(chunk[-1])
+            stacked = {k: np.concatenate([np.asarray(w[k]) for w in chunk])
+                       for k in chunk[0]}
+            key, sub = jax.random.split(key)
+            gen = self.sample_window(
+                stacked["x_l"], stacked["masked_x"],
+                jnp.asarray(stacked["x_ref"]), sub,
+                gt_video=stacked.get("x"),
+                noised_start_ratio=noised_start_ratio)
+            gen = to_uint8(gen)[:n_real]
+            outs.append(gen.reshape(1, -1, *gen.shape[2:]))
+        return np.concatenate(outs, axis=1)
+
     def sample_long(self, windows, key, use_last_as_reference: bool = True,
                     noised_start_ratio: float | None = None) -> np.ndarray:
         """Autoregressive multi-window generation (ref sample.py:305-398).
