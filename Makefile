@@ -6,8 +6,11 @@
 
 PY ?= python
 
+# -n auto: pytest-xdist fans tests over all CPUs (the persistent compile
+# cache in conftest.py is process-safe, so workers share warm compiles);
+# on a 1-vCPU box auto degrades to a single worker.
 test:
-	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q -n auto
 
 test-fast:
 	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q \

@@ -48,8 +48,16 @@ def group_norm_32(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     per-group fold happens on the tiny [B,C] result. Reshaping the full
     tensor to [..., g, c/g] up front (the obvious translation) splits the
     lane dimension and measured 353 us for a 2 MB block on v5e — ~10× the
-    bandwidth cost of the op. Variance is the one-pass E[x²]−E[x]² form in
-    fp32 (fine at activation scales; halves the passes over the tensor).
+    bandwidth cost of the op.
+
+    Variance is the one-pass E[x²]−E[x]² form in fp32 — the same fast
+    variance flax's own norms default to (use_fast_variance=True), chosen
+    to keep the norm at ONE pass over the tensor in this bandwidth-bound
+    model. It cancels when |mean| ≫ std; the torch reference's two-pass
+    GroupNorm doesn't. The real-checkpoint golden harness (golden.py
+    record/check on the converted UNet) is the guard that this stays
+    within tolerance at production activation scales; if it ever trips,
+    switch to a two-pass (subtract the [B,g] group mean, re-reduce).
     """
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)

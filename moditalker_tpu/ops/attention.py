@@ -38,6 +38,11 @@ def _xla_sdpa(q, k, v, mask=None):
     return jnp.einsum("...ij,...jd->...id", attn, v)
 
 
+def _xla_sdpa_prescale(q, k, v, scale):
+    """Non-TPU branch of the platform-dependent dispatch."""
+    return _xla_sdpa(q * scale, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_sdpa(q3, k3, v3, scale):
     # forward: Pallas kernel picked by shape (scores never leave VMEM);
@@ -56,9 +61,12 @@ def _flash_sdpa_fwd(q3, k3, v3, scale):
 
 
 def _flash_sdpa_bwd(scale, res, g):
-    # backward: recompute probabilities via the XLA path's numerics and use
-    # the standard softmax-attention adjoints. Training backward keeps the
-    # materialized-score memory profile it always had; only forward is fused.
+    # backward: recompute probabilities and use the standard
+    # softmax-attention adjoints. NOTE the memory profile: s and the two
+    # [B, N, N] probability/edge tensors here are fp32 (dp must be fp32 for
+    # the ds reduction), ~2× the transient HBM of the bf16-score einsum
+    # path — acceptable because training at these shapes is compute-bound,
+    # but budget for it when sizing training batches.
     q, k, v = res
     s = jnp.einsum("bid,bjd->bij", q * scale, k,
                    preferred_element_type=jnp.float32)
@@ -78,17 +86,28 @@ _flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
 
 # Trace-time FLOP ledger: XLA's ``compiled.cost_analysis()`` cannot see
 # inside Pallas custom calls, so every flash-dispatched sdpa records its
-# analytic matmul FLOPs (qkᵀ + pv = 4·B·N²·D) here while tracing. Benchmarks
-# reset the ledger, lower the program, then add the ledger to the XLA count.
-_flash_flops_traced: list[float] = []
+# analytic matmul FLOPs (qkᵀ + pv = 4·B·N²·D) here while tracing. The ledger
+# is ARMED only between reset and read (bench's reset→lower→read window):
+# retraces outside that window — training retraces, concurrent jits in a
+# long-lived process — neither skew the count nor accumulate unboundedly.
+_flash_ledger = {"armed": False, "flops": 0.0}
 
 
 def reset_flash_flop_ledger() -> None:
-    _flash_flops_traced.clear()
+    """Arm the ledger and zero it (call immediately before lowering)."""
+    _flash_ledger["armed"] = True
+    _flash_ledger["flops"] = 0.0
 
 
 def flash_flop_ledger() -> float:
-    return float(sum(_flash_flops_traced))
+    """Read and DISARM the ledger (call right after lowering)."""
+    _flash_ledger["armed"] = False
+    return float(_flash_ledger["flops"])
+
+
+def _ledger_record(flops: float) -> None:
+    if _flash_ledger["armed"]:
+        _flash_ledger["flops"] += flops
 
 
 def sdpa(
@@ -125,15 +144,23 @@ def sdpa(
     for s in q.shape[:-2]:
         b3 *= int(s)
     if (mask is None
-            and jax.default_backend() == "tpu"
             and not os.environ.get("MODITALKER_NO_FLASH_ATTN")
             and (onepass_attention_viable(nq, nk, d)
                  or tiny_attention_viable(b3, nq, nk, d))):
         lead = q.shape[:-2]
-        _flash_flops_traced.append(4.0 * b3 * nq * nk * d)
-        out = _flash_sdpa(q.reshape(-1, nq, d), k.reshape(-1, nk, d),
-                          v.reshape(-1, nk, d),
-                          1.0 if scale is None else float(scale))
+        _ledger_record(4.0 * b3 * nq * nk * d)
+        sc = 1.0 if scale is None else float(scale)
+        q3 = q.reshape(-1, nq, d)
+        k3 = k.reshape(-1, nk, d)
+        v3 = v.reshape(-1, nk, d)
+        # Per-LOWERING platform choice (not per-trace): a program traced on
+        # a TPU host but lowered for another backend must not bake in the
+        # TPU-only Pallas call (jit backend override, AOT cross-lowering).
+        out = jax.lax.platform_dependent(
+            q3, k3, v3,
+            tpu=lambda a, b, c: _flash_sdpa(a, b, c, sc),
+            default=lambda a, b, c: _xla_sdpa_prescale(a, b, c, sc),
+        )
         return out.reshape(*lead, nq, d)
     if scale is not None:
         q = q * scale
