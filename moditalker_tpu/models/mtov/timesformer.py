@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import rotary
-from ...ops.attention import sdpa
+from ...ops.pallas.divided_attention import divided_attention
 
 
 class GEGLUFeedForward(nn.Module):
@@ -48,27 +48,14 @@ class DividedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, axis: str, sin, cos):
-        b, f, n, _ = x.shape
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads_split(t):  # [B,F,N,H*dh] -> [B,H,F,N,dh]
-            return t.reshape(b, f, n, self.heads, self.dim_head).transpose(
-                0, 3, 1, 2, 4)
-
-        q, k, v = heads_split(q), heads_split(k), heads_split(v)
-        if axis == "time":
-            # attend over F: [B,H,N,F,dh]
-            q, k, v = (t.transpose(0, 1, 3, 2, 4) for t in (q, k, v))
-        sin = jnp.asarray(sin, self.dtype)
-        cos = jnp.asarray(cos, self.dtype)
-        q, k = rotary.apply_rot_emb(q, k, sin, cos)
-        out = sdpa(q, k, v, scale=self.dim_head**-0.5)
-        if axis == "time":
-            out = out.transpose(0, 1, 3, 2, 4)
-        out = out.transpose(0, 2, 3, 1, 4).reshape(b, f, n, inner)
+        # Fused Pallas path on TPU (head split + axis selection + rotary all
+        # happen on VMEM blocks; no 5D transposes); exact-semantics
+        # reference path elsewhere — see ops/pallas/divided_attention.py.
+        out = divided_attention(qkv, sin, cos, axis, self.heads,
+                                self.dim_head, self.dim_head**-0.5)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 

@@ -105,3 +105,75 @@ def test_fused_attention_cross_lengths():
     expected = sdpa(q, k, v, scale=64**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)
+
+
+class TestDividedAttention:
+    """Fused packed-qkv divided attention vs the transpose-based reference."""
+
+    def _mk(self, b, f, n, heads, dh, seed=7, dtype=jnp.float32):
+        from moditalker_tpu.ops import rotary
+
+        rng = np.random.default_rng(seed)
+        qkv = jnp.asarray(rng.normal(size=(b, f, n, 3 * heads * dh)), dtype)
+        t_sin, t_cos = rotary.time_rotary_sincos(f, dh)
+        side = int(round(n ** 0.5))
+        if side * side == n:
+            s_sin, s_cos = rotary.axial_rotary_sincos(side, side, dh)
+        else:
+            s_sin, s_cos = rotary.time_rotary_sincos(n, dh)
+        return qkv, (t_sin, t_cos), (s_sin, s_cos)
+
+    @pytest.mark.parametrize("axis", ["space", "time"])
+    def test_fused_matches_reference(self, axis):
+        from moditalker_tpu.ops.pallas.divided_attention import (
+            divided_attention, divided_attention_reference)
+
+        heads, dh = 2, 64
+        qkv, tsc, ssc = self._mk(2, 16, 256, heads, dh)
+        sin, cos = ssc if axis == "space" else tsc
+        scale = dh**-0.5
+        expected = divided_attention_reference(qkv, sin, cos, axis, heads,
+                                               dh, scale)
+        got = divided_attention(qkv, sin, cos, axis, heads, dh, scale,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.parametrize("axis", ["space", "time"])
+    def test_fused_backward_matches_reference(self, axis):
+        from moditalker_tpu.ops.pallas.divided_attention import (
+            divided_attention, divided_attention_reference)
+
+        heads, dh = 2, 16
+        qkv, tsc, ssc = self._mk(1, 8, 256, heads, dh, seed=9)
+        sin, cos = ssc if axis == "space" else tsc
+        scale = dh**-0.5
+
+        def loss_fused(t):
+            return jnp.sum(divided_attention(
+                t, sin, cos, axis, heads, dh, scale, interpret=True) ** 2)
+
+        def loss_ref(t):
+            return jnp.sum(divided_attention_reference(
+                t, sin, cos, axis, heads, dh, scale) ** 2)
+
+        g_fused = jax.grad(loss_fused)(qkv)
+        g_ref = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_nonviable_shapes_fall_back(self):
+        from moditalker_tpu.ops.pallas.divided_attention import (
+            divided_attention, divided_attention_reference)
+
+        heads, dh = 2, 64
+        # n=100 tiles nothing cleanly -> reference path (still correct)
+        qkv, tsc, _ = self._mk(1, 16, 100, heads, dh, seed=11)
+        from moditalker_tpu.ops import rotary
+        sin, cos = rotary.time_rotary_sincos(100, dh)
+        scale = dh**-0.5
+        got = divided_attention(qkv, sin, cos, "space", heads, dh, scale)
+        expected = divided_attention_reference(qkv, sin, cos, "space",
+                                               heads, dh, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-6)
