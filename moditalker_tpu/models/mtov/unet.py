@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import MtovUNetConfig
-from ...ops.attention import sdpa
+from ...ops.pallas.packed_attention import packed_attention
 
 
 def timestep_embedding(t, dim: int, max_period: float = 10000.0):
@@ -171,14 +171,11 @@ class SelfAttentionBlock(nn.Module):
         b, l, c = x.shape
         h = GroupNorm32(self.channels, name="norm")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         dh = c // self.num_heads
-
-        def split(t):
-            return t.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
-
-        out = sdpa(split(q), split(k), split(v), scale=dh**-0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        # lane-masked packed-head kernel on TPU (no head-split transposes,
+        # full-width contractions — crucial at this model's dh=16);
+        # head-split XLA path elsewhere (ops/pallas/packed_attention.py)
+        out = packed_attention(qkv, self.num_heads, scale=dh**-0.5)
         out = nn.Dense(c, dtype=self.dtype,
                        kernel_init=nn.initializers.zeros, name="proj_out")(out)
         return x + out

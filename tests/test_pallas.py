@@ -177,3 +177,51 @@ class TestDividedAttention:
                                                heads, dh, scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPackedAttention:
+    """Lane-masked packed-head attention vs the head-split reference."""
+
+    @pytest.mark.parametrize("b,l,c,heads", [
+        (1, 1024, 128, 8),   # UNet joint attn shape family (dh=16, viable)
+        (1, 128, 256, 8),    # dh=32 -> reference fallback
+        (2, 64, 128, 2),     # dh=64 -> reference fallback
+    ])
+    def test_matches_reference(self, b, l, c, heads):
+        from moditalker_tpu.ops.pallas.packed_attention import (
+            packed_attention, packed_attention_reference)
+
+        rng = np.random.default_rng(5)
+        qkv = jnp.asarray(rng.normal(size=(b, l, 3 * c)), jnp.float32)
+        scale = (c // heads) ** -0.5
+        expected = packed_attention_reference(qkv, heads, scale)
+        got = packed_attention(qkv, heads, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_backward_matches_reference(self):
+        from moditalker_tpu.ops.pallas.packed_attention import (
+            packed_attention, packed_attention_reference)
+
+        rng = np.random.default_rng(6)
+        qkv = jnp.asarray(rng.normal(size=(1, 1024, 3 * 128)), jnp.float32)
+        scale = 16 ** -0.5
+
+        g1 = jax.grad(lambda t: jnp.sum(
+            packed_attention(t, 8, scale, interpret=True) ** 2))(qkv)
+        g2 = jax.grad(lambda t: jnp.sum(
+            packed_attention_reference(t, 8, scale) ** 2))(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_nonviable_falls_back(self):
+        from moditalker_tpu.ops.pallas.packed_attention import (
+            packed_attention, packed_attention_reference)
+
+        rng = np.random.default_rng(7)
+        qkv = jnp.asarray(rng.normal(size=(1, 48, 3 * 96)), jnp.float32)
+        scale = 12 ** -0.5
+        got = packed_attention(qkv, 8, scale)
+        expected = packed_attention_reference(qkv, 8, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-6)
