@@ -131,11 +131,13 @@ def main():
     # per-program tunnel overhead is paid once per window
     @jax.jit
     def _window(aep, up, lv, mv, ref_video, key):
-        # one batched extract for (landmark, masked, reference) videos:
-        # 3x the tokens per dispatch instead of 3 sequential calls
-        stacked = jnp.concatenate([lv, mv, ref_video], axis=0)
-        z3 = ae.apply(aep, stacked, method=ae.extract)
-        z_l, masked_z, image_cond = jnp.split(z3, 3, axis=0)
+        # three INDEPENDENT extracts (matches MtovSamplePipeline): XLA
+        # interleaves the independent chains, hiding the quant-pools' low
+        # utilization behind the other trunks' matmuls — measured on v5e:
+        # 3 independent B=4 extracts 244 ms vs one batched B=12 314 ms
+        z_l = ae.apply(aep, lv, method=ae.extract)
+        masked_z = ae.apply(aep, mv, method=ae.extract)
+        image_cond = ae.apply(aep, ref_video, method=ae.extract)
         cond = jnp.concatenate([z_l, masked_z], axis=1)
         latent = ddpm.ddim_sample(
             up, key, (BATCH, 4, L), cond, image_cond)
@@ -210,28 +212,33 @@ def main():
                 ae.apply(p, zz, method=ae.decode_from_sample), zz),
             z),
         ae_params, z3_0[:BATCH])
-    # extract measured DIRECTLY as AR-chained standalone dispatches, same
-    # methodology as the main window loop: one scalar of each output is
-    # folded into the next input, so dispatches are data-dependent and the
+    # extract measured DIRECTLY as AR-chained standalone dispatches of the
+    # window's 3-independent-extract program: one scalar of each output is
+    # folded into the next inputs, so dispatches are data-dependent and the
     # inputs are runtime values (nothing constant-folds). Per-dispatch
-    # tunnel overhead (~8 ms, measured floor) is included but <2% of the
+    # tunnel overhead (~8 ms, measured floor) is included but <3% of the
     # stage. (A chained fori_loop with the 151 MB video as loop carry is
     # NOT reliable through the relay — it intermittently measured 4-6x its
     # own residual cross-check; dispatch-chaining is stable.)
     @jax.jit
-    def _extract_chained(p, v):
-        z = ae.apply(p, v, method=ae.extract)
-        leaf = z.reshape(-1)[0]
-        return z, v * (1 + 0 * leaf.astype(v.dtype))
+    def _extract_chained(p, a, b, c):
+        za = ae.apply(p, a, method=ae.extract)
+        zb = ae.apply(p, b, method=ae.extract)
+        zc = ae.apply(p, c, method=ae.extract)
+        m = 1 + 0 * (za.reshape(-1)[0] + zb.reshape(-1)[0]
+                     + zc.reshape(-1)[0])
+        return za, a * m.astype(a.dtype), b * m.astype(b.dtype), \
+            c * m.astype(c.dtype)
 
-    z_c, v_c = _extract_chained(ae_params, stacked0)
-    fetch(v_c)
+    z_c, a_c, b_c, c_c = _extract_chained(
+        ae_params, ldmk_video, masked_video, video.astype(jnp.float32))
+    fetch(a_c)
     t_extract = float("inf")
     for _ in range(2):  # min of 2 reps: sheds one-off relay recompiles
         t = time.perf_counter()
         for _ in range(K):
-            z_c, v_c = _extract_chained(ae_params, v_c)
-        fetch(v_c)
+            z_c, a_c, b_c, c_c = _extract_chained(ae_params, a_c, b_c, c_c)
+        fetch(a_c)
         t_extract = min(t_extract, (time.perf_counter() - t) / K)
     # residual cross-check: window − denoise − decode should ≈ extract +
     # in-program glue. Residual-derived, so dispatch overhead and timing
@@ -278,9 +285,10 @@ def main():
 
     @jax.jit
     def _window_fast(aep, up, lv, gt_video, ref_video, k, r):
-        stacked = jnp.concatenate([lv, gt_video, ref_video], axis=0)
-        z3 = ae.apply(aep, stacked, method=ae.extract)
-        z_l, z_gt, image_cond = jnp.split(z3, 3, axis=0)
+        # independent extracts, as in _window
+        z_l = ae.apply(aep, lv, method=ae.extract)
+        z_gt = ae.apply(aep, gt_video, method=ae.extract)
+        image_cond = ae.apply(aep, ref_video, method=ae.extract)
         cond = jnp.concatenate([z_l, z_gt], axis=1)
         latent = ddpm.ddim_sample_noised_start(up, k, z_gt, cond,
                                                image_cond, r)

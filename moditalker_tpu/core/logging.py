@@ -73,18 +73,22 @@ class MetricLogger:
             self._tb.add_image(tag, img, int(step), dataformats="HWC")
 
     def log_video(self, step: int, tag: str, video, fps: int = 25):
-        """video [T, H, W, C] (ref utils.py video_summary :73-78)."""
+        """video [T, H, W, C] (ref utils.py video_summary :73-78).
+
+        tensorboardX's ``add_video`` requires torch; rather than pull a
+        heavy optional dependency into the logger, log the video as a
+        [T·H, W, C] filmstrip image (frames stacked vertically) — pure
+        numpy, same information, visible in any TB build."""
         if self._tb is not None:
             import numpy as np
 
             v = np.asarray(video)
             if v.dtype != "uint8":
                 v = (np.clip(v, 0, 1) * 255).astype("uint8")
-            import torch
-
-            self._tb.add_video(
-                tag, torch.tensor(v.transpose(0, 3, 1, 2))[None], int(step),
-                fps=fps)
+            t, h, w, c = v.shape
+            strip = v.reshape(t * h, w, c)
+            self._tb.add_image(f"{tag}/filmstrip", strip, int(step),
+                               dataformats="HWC")
 
     def close(self):
         self._text.close()

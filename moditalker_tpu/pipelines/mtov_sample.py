@@ -55,12 +55,15 @@ class MtovSamplePipeline:
         def window_step(ae_rgb, ae_ldmk, unet, ldmk_video, masked_video,
                         ref_video, key):
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
-            # masked + reference share the RGB AE: one batched extract
-            b = masked_video.shape[0]
-            z2 = self.ae.apply(
-                ae_rgb, jnp.concatenate([masked_video, ref_video], axis=0),
-                method=self.ae.extract)
-            masked_z, image_cond = z2[:b], z2[b:]
+            # masked + reference run as INDEPENDENT extracts (not one batched
+            # call): XLA interleaves the independent chains, which hides the
+            # quant-pools' low utilization behind the other trunk's matmuls —
+            # measured on v5e: 3 independent B=4 extracts 244 ms vs one
+            # batched B=12 extract 314 ms
+            masked_z = self.ae.apply(ae_rgb, masked_video,
+                                     method=self.ae.extract)
+            image_cond = self.ae.apply(ae_rgb, ref_video,
+                                       method=self.ae.extract)
             cond = jnp.concatenate([z_l, masked_z], axis=1)
             latent = self.ddpm.ddim_sample(
                 unet, key, (ldmk_video.shape[0], unet_cfg.in_channels, self.L),
@@ -71,12 +74,12 @@ class MtovSamplePipeline:
         def window_step_noised(ae_rgb, ae_ldmk, unet, gt_video, ldmk_video,
                                masked_video, ref_video, key, ratio):
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
-            b = gt_video.shape[0]
-            z3 = self.ae.apply(
-                ae_rgb,
-                jnp.concatenate([gt_video, masked_video, ref_video], axis=0),
-                method=self.ae.extract)
-            z, masked_z, image_cond = z3[:b], z3[b : 2 * b], z3[2 * b :]
+            # independent extracts (see window_step)
+            z = self.ae.apply(ae_rgb, gt_video, method=self.ae.extract)
+            masked_z = self.ae.apply(ae_rgb, masked_video,
+                                     method=self.ae.extract)
+            image_cond = self.ae.apply(ae_rgb, ref_video,
+                                       method=self.ae.extract)
             cond = jnp.concatenate([z_l, masked_z], axis=1)
             latent = self.ddpm.ddim_sample_noised_start(
                 unet, key, z, cond, image_cond, ratio)

@@ -255,13 +255,14 @@ class FanLandmarker:
     """
 
     def __init__(self, fan_params, num_modules: int = 4,
-                 initial_box=None, detector_fn=None):
+                 initial_box=None, detector_fn=None, chunk: int = 64):
         import jax
 
         self.model = FAN(num_modules=num_modules)
         self.params = fan_params
         self.initial_box = initial_box
         self.detector_fn = detector_fn
+        self.chunk = chunk
         self._apply = jax.jit(
             lambda p, x: self.model.apply(p, x)[-1])
 
@@ -302,7 +303,12 @@ class FanLandmarker:
         crops = np.stack([
             crop_face(frames_u8[i].astype(np.float32), centers[i], scales[i])
             for i in range(t)]) / 255.0
-        hm = np.asarray(self._apply(self.params, jnp.asarray(crops)))
+        from .batching import padded_chunk_apply
+
+        # fixed-chunk dispatch: one compiled FAN program per clip length
+        hm = padded_chunk_apply(
+            lambda part: self._apply(self.params, jnp.asarray(part)),
+            crops, self.chunk)
         out = np.empty((t, 68, 2), np.float64)
         for i in range(t):
             out[i] = heatmaps_to_landmarks(

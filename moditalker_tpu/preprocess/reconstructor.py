@@ -22,7 +22,8 @@ from .recon_net import ReconNet
 
 class Reconstructor:
     def __init__(self, recon_params, lm3d_std: np.ndarray | None = None,
-                 rescale_factor: float = 102.0, bfm_dir: str | None = None):
+                 rescale_factor: float = 102.0, bfm_dir: str | None = None,
+                 chunk: int = 64):
         import jax
 
         if lm3d_std is None:
@@ -36,7 +37,19 @@ class Reconstructor:
         self.params = recon_params
         self.lm3d_std = np.asarray(lm3d_std, np.float64)
         self.rescale_factor = rescale_factor
-        self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
+        self.chunk = chunk
+        self._jit_apply = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def _apply(self, params, crops):
+        from .batching import padded_chunk_apply
+
+        # fixed-chunk dispatch: one compiled regressor program per clip
+        # length (a per-length batch would recompile per video)
+        import jax.numpy as jnp
+
+        return padded_chunk_apply(
+            lambda part: self._jit_apply(params, jnp.asarray(part)),
+            np.asarray(crops), self.chunk)
 
     def pose_extract(self, img_sizes, lm5_batch) -> list[dict]:
         """Per-frame similarity params (ref reconstructor.py:72-94)."""

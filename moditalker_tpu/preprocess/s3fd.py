@@ -159,10 +159,11 @@ class S3FDDetector:
     """``detector_fn`` for FanLandmarker: frame [H,W,3] uint8 RGB →
     [x0,y0,x1,y1] of the highest-scoring face (None if no detection)."""
 
-    def __init__(self, params, threshold: float = 0.5):
+    def __init__(self, params, threshold: float = 0.5, chunk: int = 64):
         self.model = S3FD()
         self.params = params
         self.threshold = threshold
+        self.chunk = chunk
         self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
 
     def __call__(self, frame_u8: np.ndarray):
@@ -175,8 +176,13 @@ class S3FDDetector:
         fall back to tracking). Frames without a face reuse the previous
         frame's box when at least one frame detected."""
         imgs = frames_u8[..., ::-1].astype(np.float32) - _BGR_MEANS
-        olist = [np.asarray(o) for o in self._apply(self.params,
-                                                    jnp.asarray(imgs))]
+        from .batching import padded_chunk_apply
+
+        # fixed-chunk dispatch: one compiled program serves every clip
+        # length (a per-length batch would recompile per video)
+        olist = padded_chunk_apply(
+            lambda part: self._apply(self.params, jnp.asarray(part)),
+            imgs, self.chunk)
         t = frames_u8.shape[0]
         boxes = np.zeros((t, 4))
         have = np.zeros(t, bool)

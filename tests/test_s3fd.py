@@ -150,6 +150,7 @@ def test_s3fd_boxes_for_frames_gap_fill():
     class Det(s3fd_mod.S3FDDetector):
         def __init__(self):  # no model needed
             self.threshold = 0.5
+            self.chunk = 64
 
     det = Det()
     conf = np.zeros((2, 4, 4, 2), np.float32)
@@ -162,3 +163,29 @@ def test_s3fd_boxes_for_frames_gap_fill():
     boxes = det.boxes_for_frames(np.zeros((2, 16, 16, 3), np.uint8))
     assert boxes.shape == (2, 4)
     np.testing.assert_allclose(boxes[1], boxes[0])  # gap filled
+
+
+def test_padded_chunk_apply_matches_direct():
+    """Chunked dispatch == direct call, for arrays and pytree outputs."""
+    from moditalker_tpu.preprocess.batching import padded_chunk_apply
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(10, 3)).astype(np.float32)
+
+    shapes = []
+
+    def fn(part):
+        shapes.append(part.shape)
+        return {"a": part * 2.0, "b": [part.sum(axis=1)]}
+
+    out = padded_chunk_apply(fn, x, chunk=4)
+    # every dispatch sees the SAME (fixed) batch shape
+    assert set(shapes) == {(4, 3)}
+    np.testing.assert_allclose(out["a"], x * 2.0)
+    np.testing.assert_allclose(out["b"][0], x.sum(axis=1), rtol=1e-6)
+
+    # exact multiple and smaller-than-chunk inputs
+    np.testing.assert_allclose(
+        padded_chunk_apply(lambda p: p + 1, x[:8], chunk=4), x[:8] + 1)
+    np.testing.assert_allclose(
+        padded_chunk_apply(lambda p: p + 1, x[:2], chunk=4), x[:2] + 1)
