@@ -105,12 +105,17 @@ def _tile_tables(sin, cos, g: int):
 
 
 # ----------------------------------------------------------------- kernels
-def _apply_rot(x, sin, cos, r):
-    """x·cos + (x@R)·sin, result in x.dtype (the ±1 permutation matmul is
-    exact; Mosaic requires fp32 accumulation, cast back so the score matmuls
-    stay off the 4×-slower fp32 MXU path)."""
+def _apply_rot(x, sin, cos, r, scale: float = 1.0):
+    """(x·cos + (x@R)·sin)·scale, result in x.dtype (the ±1 permutation
+    matmul is exact; Mosaic requires fp32 accumulation, cast back so the
+    score matmuls stay off the 4×-slower fp32 MXU path). ``scale`` rides the
+    existing elementwise pass for free — folding the attention scale here
+    (on [N, 128] q) saves a per-head pass over the [N, N] fp32 score tile."""
     rot = jnp.dot(x, r, preferred_element_type=jnp.float32).astype(x.dtype)
-    return x * cos + rot * sin
+    out = x * cos + rot * sin
+    if scale != 1.0:
+        out = out * jnp.asarray(scale, out.dtype)
+    return out
 
 
 def _space_kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, r_ref, m_ref, o_ref,
@@ -121,17 +126,21 @@ def _space_kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, r_ref, m_ref, o_ref,
     sin = sin_ref[...].astype(q.dtype)
     cos = cos_ref[...].astype(q.dtype)
     r = r_ref[...].astype(q.dtype)
-    q = _apply_rot(q, sin, cos, r)
+    q = _apply_rot(q, sin, cos, r, scale)
     k = _apply_rot(k, sin, cos, r)
     out = jnp.zeros(q.shape, jnp.float32)
     for i in range(g):
         m = m_ref[i:i + 1, :].astype(k.dtype)      # [1, 128]
         s = jax.lax.dot_general(q, k * m, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         mx = s.max(axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
-        p = (p / p.sum(axis=-1, keepdims=True)).astype(v.dtype)
-        out = out + jnp.dot(p, v * m, preferred_element_type=jnp.float32)
+        l = p.sum(axis=-1, keepdims=True)          # [N, 1]
+        pv = jnp.dot(p.astype(v.dtype), v * m,
+                     preferred_element_type=jnp.float32)
+        # denominator on the [N, 128] output rows, not the [N, N] tile
+        # (exact: sub-head outputs occupy disjoint lanes)
+        out = out + pv / l
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -181,8 +190,9 @@ def _time_kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, r_ref, m_ref, o_ref,
     cos = cos_ref[...].astype(q.dtype)[None, :, :]
     r = r_ref[...].astype(q.dtype)
     dn = (((2,), (0,)), ((), ()))
-    q = q * cos + jax.lax.dot_general(
+    q = (q * cos + jax.lax.dot_general(
         q, r, dn, preferred_element_type=jnp.float32).astype(q.dtype) * sin
+         ) * jnp.asarray(scale, q.dtype)            # scale folded into q
     k = k * cos + jax.lax.dot_general(
         k, r, dn, preferred_element_type=jnp.float32).astype(k.dtype) * sin
     # the g sub-head outputs occupy DISJOINT lane sets (masked v), so
@@ -193,13 +203,14 @@ def _time_kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, r_ref, m_ref, o_ref,
         m = m_ref[i:i + 1, :].astype(k.dtype)       # [1, 128]
         # scores over the F axis, batched over the BN patches: [BN, F, F]
         s = jax.lax.dot_general(q, k * m, bdn((2,), (2,)),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         mx = s.max(axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
-        p = (p / p.sum(axis=-1, keepdims=True)).astype(v.dtype)
-        out = out + jax.lax.dot_general(
-            p, v * m, bdn((2,), (1,)),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        l = p.sum(axis=-1, keepdims=True)           # [BN, F, 1]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v * m, bdn((2,), (1,)),
+            preferred_element_type=jnp.float32)
+        out = out + (pv / l).astype(o_ref.dtype)
     for fi in range(f):                             # back to [F, BN, 128]
         o_ref[0, fi] = out[:, fi, :]
 

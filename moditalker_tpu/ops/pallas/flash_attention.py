@@ -34,6 +34,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
     # matmuls stay in the input dtype (bf16 on TPU) with fp32 accumulation —
     # fp32 MXU matmuls are ~4x slower and were the original kernel's downfall
     q = q_ref[0]                                      # [BQ, D]
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # fold scale into q
     n = k_ref.shape[1]
     num_kb = n // block_k
 
@@ -46,7 +47,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
         m_i, l_i, acc = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m_i, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
@@ -105,17 +106,20 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     # the softmax is a plain full-row one (no online max/sum rescaling). The
     # [BQ, N] score tile lives and dies in VMEM — the XLA path's dominant
     # HBM traffic (the [N, N] score tensor) never exists.
+    # VPU economy: scale folded into q ([BQ, D], not the [BQ, N] score
+    # tile); softmax denominator divides the [BQ, D] output rows, not the
+    # [BQ, N] probability tile (exact: (p/l) @ v == (p @ v) / l row-wise).
     q = q_ref[0]                                       # [BQ, D]
     k = k_ref[0]                                       # [N, D]
     v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     m = s.max(axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = p.sum(axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32
-                       ).astype(o_ref.dtype)
+    l = p.sum(axis=-1, keepdims=True)                  # [BQ, 1]
+    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -147,14 +151,16 @@ def _tiny_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     qq = q_ref[...]                                    # [C, L, D]
     kk = k_ref[...]
     vv = v_ref[...]
-    s = jax.lax.dot_general(qq, kk, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32) * scale
+    qs = (qq.astype(jnp.float32) * scale).astype(qq.dtype)
+    s = jax.lax.dot_general(qs, kk, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
     m = s.max(axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = (p / p.sum(axis=-1, keepdims=True)).astype(vv.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        p, vv, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    l = p.sum(axis=-1, keepdims=True)                  # [C, L, 1]
+    pv = jax.lax.dot_general(
+        p.astype(vv.dtype), vv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = (pv / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))

@@ -76,19 +76,26 @@ def _head_masks(heads: int, c: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ kernel
 def _packed_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, heads):
+    # VPU economy: ``scale`` is folded into q ONCE ([BLK, C]) instead of
+    # scaling the [BLK, L] fp32 score tile per head, and the softmax
+    # denominator divides the [BLK, C] per-head OUTPUT rows instead of the
+    # [BLK, L] probability tile (exact: out_h = (p @ v_h) / l row-wise).
+    # Together that removes 2 of the ~5 full-score-tile VPU passes per head.
     q = q_ref[0]                                   # [BLK, C]
     k = k_ref[0]                                   # [L, C]
     v = v_ref[0]
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     out = jnp.zeros(q.shape, o_ref.dtype)
     for h in range(heads):
         m = m_ref[h:h + 1, :].astype(k.dtype)      # [1, C]
-        s = jax.lax.dot_general(q, k * m, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(qs, k * m, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         mx = s.max(axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
-        p = (p / p.sum(axis=-1, keepdims=True)).astype(v.dtype)
-        out = out + jnp.dot(p, v * m, preferred_element_type=jnp.float32
-                            ).astype(o_ref.dtype)
+        l = p.sum(axis=-1, keepdims=True)          # [BLK, 1]
+        pv = jnp.dot(p.astype(v.dtype), v * m,
+                     preferred_element_type=jnp.float32)
+        out = out + (pv / l).astype(o_ref.dtype)
     o_ref[0] = out
 
 

@@ -153,6 +153,49 @@ def heatmaps_to_landmarks(heatmaps: np.ndarray, center=None,
     return pts
 
 
+def decode_heatmaps_jnp(heatmaps):
+    """On-device mirror of ``heatmaps_to_landmarks`` WITHOUT the
+    center/scale back-projection: [B, H, W, 68] → fp32 [B, 68, 2] heatmap
+    coords (pixel centers, +0.5). Runs inside the jitted FAN program so a
+    chunk returns 35 KB of landmarks instead of ~71 MB of fp32 heatmaps —
+    the heatmap fetch dominated alignment wall time over the device tunnel.
+    Bit-identical to the host decode on the same fp32 maps (argmax picks the
+    first maximum in both numpy and jnp)."""
+    import jax.numpy as jnp
+
+    b, hh, ww, n = heatmaps.shape
+    hm = heatmaps.astype(jnp.float32)
+    flat = hm.transpose(0, 3, 1, 2).reshape(b, n, hh * ww)
+    idx = jnp.argmax(flat, axis=-1)                       # [B, 68]
+    xi = idx % ww
+    yi = idx // ww
+    hm_n = hm.transpose(0, 3, 1, 2)                       # [B, 68, H, W]
+
+    def at(y, x):
+        return jnp.take_along_axis(
+            hm_n.reshape(b, n, hh * ww),
+            (y * ww + x)[..., None], axis=-1)[..., 0]
+
+    right = at(yi, jnp.minimum(xi + 1, ww - 1))
+    left = at(yi, jnp.maximum(xi - 1, 0))
+    below = at(jnp.minimum(yi + 1, hh - 1), xi)
+    above = at(jnp.maximum(yi - 1, 0), xi)
+    in_x = ((xi > 0) & (xi < ww - 1)).astype(jnp.float32)
+    in_y = ((yi > 0) & (yi < hh - 1)).astype(jnp.float32)
+    xs = xi.astype(jnp.float32) + 0.25 * jnp.sign(right - left) * in_x
+    ys = yi.astype(jnp.float32) + 0.25 * jnp.sign(below - above) * in_y
+    return jnp.stack([xs, ys], axis=-1) + 0.5
+
+
+def project_heatmap_coords(pts: np.ndarray, center, scale: float,
+                           resolution: int = 64) -> np.ndarray:
+    """Heatmap-space coords → image coords (the center/scale tail of
+    ``heatmaps_to_landmarks``, applied host-side in float64)."""
+    pts = np.asarray(pts, np.float64)
+    pts = pts / resolution * (200.0 * scale)
+    return pts + (np.asarray(center, np.float64) - 100.0 * scale)
+
+
 def crop_face(img: np.ndarray, center, scale: float,
               resolution: int = 256) -> np.ndarray:
     """Square crop of side 200·scale around center, resized to 256²
@@ -258,6 +301,8 @@ class FanLandmarker:
                  initial_box=None, detector_fn=None, chunk: int = 64):
         import jax
 
+        import jax.numpy as jnp
+
         self.model = FAN(num_modules=num_modules)
         self.params = fan_params
         self.initial_box = initial_box
@@ -265,6 +310,14 @@ class FanLandmarker:
         self.chunk = chunk
         self._apply = jax.jit(
             lambda p, x: self.model.apply(p, x)[-1])
+        # Transfer-lean program: uint8 crops up (4× less than fp32),
+        # decoded [B, 68, 2] landmarks down (~2000× less than the heatmaps).
+        # uint8 crop quantization matches the reference: face_alignment
+        # crops with cv2.resize on uint8 frames, so its FAN inputs are
+        # uint8-quantized too.
+        self._apply_pts = jax.jit(
+            lambda p, x_u8: decode_heatmaps_jnp(self.model.apply(
+                p, x_u8.astype(jnp.float32) / 255.0)[-1]))
 
     @classmethod
     def with_s3fd(cls, fan_params, s3fd_params, num_modules: int = 4,
@@ -281,11 +334,13 @@ class FanLandmarker:
     def landmarks_for_frame(self, frame_u8: np.ndarray,
                             prior) -> np.ndarray:
         center, scale = bbox_to_center_scale(prior)
-        crop = crop_face(frame_u8.astype(np.float32), center, scale) / 255.0
+        crop = crop_face(frame_u8.astype(np.float32), center, scale)
+        crop_u8 = np.clip(np.rint(crop), 0, 255).astype(np.uint8)
         import jax.numpy as jnp
 
-        hm = np.asarray(self._apply(self.params, jnp.asarray(crop[None])))
-        return heatmaps_to_landmarks(hm, center=center, scale=scale)[0]
+        pts = np.asarray(self._apply_pts(self.params,
+                                         jnp.asarray(crop_u8[None])))
+        return project_heatmap_coords(pts, center, scale)[0]
 
     def landmarks_batched(self, frames_u8: np.ndarray,
                           boxes: np.ndarray) -> np.ndarray:
@@ -302,17 +357,19 @@ class FanLandmarker:
         centers, scales = zip(*(bbox_to_center_scale(b) for b in boxes))
         crops = np.stack([
             crop_face(frames_u8[i].astype(np.float32), centers[i], scales[i])
-            for i in range(t)]) / 255.0
+            for i in range(t)])
+        crops_u8 = np.clip(np.rint(crops), 0, 255).astype(np.uint8)
         from .batching import padded_chunk_apply
 
-        # fixed-chunk dispatch: one compiled FAN program per clip length
-        hm = padded_chunk_apply(
-            lambda part: self._apply(self.params, jnp.asarray(part)),
-            crops, self.chunk)
+        # fixed-chunk dispatch: one compiled FAN program per clip length;
+        # landmarks decode on device (decode_heatmaps_jnp) so only [T,68,2]
+        # crosses the tunnel
+        pts = padded_chunk_apply(
+            lambda part: self._apply_pts(self.params, jnp.asarray(part)),
+            crops_u8, self.chunk)
         out = np.empty((t, 68, 2), np.float64)
         for i in range(t):
-            out[i] = heatmaps_to_landmarks(
-                hm[i : i + 1], center=centers[i], scale=scales[i])[0]
+            out[i] = project_heatmap_coords(pts[i], centers[i], scales[i])
         return out
 
     def __call__(self, frames_u8: np.ndarray) -> np.ndarray:

@@ -38,7 +38,14 @@ class Reconstructor:
         self.lm3d_std = np.asarray(lm3d_std, np.float64)
         self.rescale_factor = rescale_factor
         self.chunk = chunk
-        self._jit_apply = jax.jit(lambda p, x: self.model.apply(p, x))
+        # uint8 crops in, /255 normalization on device: PIL's resize/crop
+        # keep uint8 (exactly what the reference's align_img feeds the
+        # regressor), so the uint8 upload is lossless and 4× smaller over
+        # the tunnel than fp32.
+        import jax.numpy as jnp
+
+        self._jit_apply = jax.jit(lambda p, x: self.model.apply(
+            p, x.astype(jnp.float32) / 255.0))
 
     def _apply(self, params, crops):
         from .batching import padded_chunk_apply
@@ -68,7 +75,7 @@ class Reconstructor:
         w, h = int(np.int32(w0 * s)), int(np.int32(h0 * s))
         img = img.resize((w, h), resample=Image.BICUBIC)
         img = img.crop(align.crop_box(params))
-        return np.asarray(img, np.float32) / 255.0
+        return np.asarray(img, np.uint8)  # /255 happens on device
 
     def recon_coeff(self, frames_u8: np.ndarray, lm68: np.ndarray,
                     return_image: bool = False):

@@ -106,30 +106,50 @@ class S3FD(nn.Module):
         return out
 
 
+def decode_detections_batch(olist: list[np.ndarray],
+                            threshold: float = 0.5,
+                            variances=(0.1, 0.2)) -> list[np.ndarray]:
+    """SSD decode, vectorized over frames AND anchors: per-scale anchors
+    (stride s, size 4s), standard center-variance box regression, then
+    per-frame NMS. ``olist`` = [conf_s4 [T,H,W,2], loc_s4 [T,H,W,4], ...].
+    Returns a list of T arrays [Ni, 5] (x0,y0,x1,y1,score), best first."""
+    t_total = np.asarray(olist[0]).shape[0]
+    per_frame: list[list[np.ndarray]] = [[] for _ in range(t_total)]
+    for i in range(len(olist) // 2):
+        conf = np.asarray(olist[2 * i])
+        loc = np.asarray(olist[2 * i + 1])
+        stride = 2 << (i + 1)  # 4, 8, 16, 32, 64, 128
+        ts, ys, xs = np.nonzero(conf[..., 1] > threshold)
+        if ts.size == 0:
+            continue
+        score = conf[ts, ys, xs, 1]
+        d = loc[ts, ys, xs]                         # [M, 4]
+        axc = stride / 2 + xs * stride
+        ayc = stride / 2 + ys * stride
+        cx = axc + d[:, 0] * variances[0] * stride * 4
+        cy = ayc + d[:, 1] * variances[0] * stride * 4
+        w = stride * 4 * np.exp(d[:, 2] * variances[1])
+        hh = stride * 4 * np.exp(d[:, 3] * variances[1])
+        det = np.stack([cx - w / 2, cy - hh / 2, cx + w / 2, cy + hh / 2,
+                        score], axis=1)
+        for f in np.unique(ts):
+            per_frame[int(f)].append(det[ts == f])
+    out = []
+    for rows in per_frame:
+        if not rows:
+            out.append(np.zeros((0, 5)))
+            continue
+        b = np.concatenate(rows, axis=0).astype(np.float64)
+        out.append(b[nms(b, 0.3)])
+    return out
+
+
 def decode_detections(olist: list[np.ndarray], threshold: float = 0.5,
                       variances=(0.1, 0.2)) -> np.ndarray:
-    """SSD decode: per-scale anchors (stride s, size 4s), standard
-    center-variance box regression, then NMS. Returns [N, 5] (x0,y0,x1,y1,
-    score), best first."""
-    boxes = []
-    for i in range(len(olist) // 2):
-        conf, loc = np.asarray(olist[2 * i])[0], np.asarray(olist[2 * i + 1])[0]
-        stride = 2 << (i + 1)  # 4, 8, 16, 32, 64, 128
-        ys, xs = np.where(conf[..., 1] > threshold)
-        for y, x in zip(ys, xs):
-            score = conf[y, x, 1]
-            axc, ayc = stride / 2 + x * stride, stride / 2 + y * stride
-            d = loc[y, x]
-            cx = axc + d[0] * variances[0] * stride * 4
-            cy = ayc + d[1] * variances[0] * stride * 4
-            w = stride * 4 * np.exp(d[2] * variances[1])
-            hh = stride * 4 * np.exp(d[3] * variances[1])
-            boxes.append([cx - w / 2, cy - hh / 2, cx + w / 2, cy + hh / 2,
-                          score])
-    if not boxes:
-        return np.zeros((0, 5))
-    b = np.asarray(boxes, np.float64)
-    return b[nms(b, 0.3)]
+    """Single-frame SSD decode (maps carry a leading batch axis of 1).
+    Returns [N, 5] (x0,y0,x1,y1,score), best first."""
+    return decode_detections_batch(
+        [np.asarray(o)[:1] for o in olist], threshold, variances)[0]
 
 
 def nms(dets: np.ndarray, thresh: float) -> list[int]:
@@ -164,7 +184,11 @@ class S3FDDetector:
         self.params = params
         self.threshold = threshold
         self.chunk = chunk
-        self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
+        # uint8 RGB frames in; RGB→BGR flip + mean subtraction on device
+        # (a fp32 upload is 4× the bytes over the tunnel)
+        self._apply = jax.jit(lambda p, x_u8: self.model.apply(
+            p, x_u8[..., ::-1].astype(jnp.float32)
+            - jnp.asarray(_BGR_MEANS)))
 
     def __call__(self, frame_u8: np.ndarray):
         boxes = self.boxes_for_frames(frame_u8[None])
@@ -175,20 +199,18 @@ class S3FDDetector:
         device call), or None when any frame has no detection (callers then
         fall back to tracking). Frames without a face reuse the previous
         frame's box when at least one frame detected."""
-        imgs = frames_u8[..., ::-1].astype(np.float32) - _BGR_MEANS
         from .batching import padded_chunk_apply
 
         # fixed-chunk dispatch: one compiled program serves every clip
         # length (a per-length batch would recompile per video)
         olist = padded_chunk_apply(
             lambda part: self._apply(self.params, jnp.asarray(part)),
-            imgs, self.chunk)
+            np.ascontiguousarray(frames_u8), self.chunk)
         t = frames_u8.shape[0]
         boxes = np.zeros((t, 4))
         have = np.zeros(t, bool)
-        for i in range(t):
-            per = [o[i : i + 1] for o in olist]
-            dets = decode_detections(per, self.threshold)
+        all_dets = decode_detections_batch(olist, self.threshold)
+        for i, dets in enumerate(all_dets):
             if dets.shape[0]:
                 boxes[i] = dets[0, :4]
                 have[i] = True

@@ -9,6 +9,12 @@ env var and the live jax config before any backend is initialised.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the axon TPU-tunnel hook for every subprocess the suite spawns
+# (sitecustomize claims the single-client tunnel at interpreter startup when
+# PALLAS_AXON_POOL_IPS is set; a child claim deadlocks behind this process's
+# own startup claim). Too late for THIS process — run the suite itself with
+# PALLAS_AXON_POOL_IPS= to keep the pytest process off the tunnel too.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -52,6 +52,12 @@ print("DRIVER_ENV_OK")
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "_MODITALKER_MC_CHILD")
     }
+    # The axon sitecustomize hook claims the single-client TPU tunnel at
+    # interpreter startup when PALLAS_AXON_POOL_IPS is set. The subprocess
+    # must NOT touch the tunnel: the 1-device default backend is simulated
+    # with XLA flags, and a real claim attempt deadlocks behind the parent
+    # pytest process's own claim (single-client relay).
+    env["PALLAS_AXON_POOL_IPS"] = ""
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd="/root/repo",
         capture_output=True, text=True, timeout=1800)
