@@ -136,3 +136,20 @@ def test_crop_face_degenerate_scale_bounded():
     assert out.shape == (256, 256, 3)
     out = fan.crop_face(img, center=(40, 32), scale=1e-9)
     assert out.shape == (256, 256, 3)
+
+
+def test_device_decode_matches_host_decode():
+    """decode_heatmaps_jnp (the on-device decode inside the jitted FAN
+    program) is bit-identical to heatmaps_to_landmarks on the same fp32
+    maps (heatmap-space coords; the center/scale tail is applied host-side
+    by project_heatmap_coords)."""
+    rng = np.random.default_rng(7)
+    hm = rng.normal(size=(3, 64, 64, 68)).astype(np.float32)
+    host = fan.heatmaps_to_landmarks(hm.copy())
+    dev = np.asarray(jax.jit(fan.decode_heatmaps_jnp)(jnp.asarray(hm)))
+    np.testing.assert_array_equal(dev.astype(np.float64), host)
+
+    center, scale = np.array([120.0, 90.0]), 1.1
+    full = fan.heatmaps_to_landmarks(hm.copy(), center=center, scale=scale)
+    via = fan.project_heatmap_coords(dev, center, scale)
+    np.testing.assert_allclose(via, full, rtol=0, atol=1e-9)

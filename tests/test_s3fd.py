@@ -189,3 +189,25 @@ def test_padded_chunk_apply_matches_direct():
         padded_chunk_apply(lambda p: p + 1, x[:8], chunk=4), x[:8] + 1)
     np.testing.assert_allclose(
         padded_chunk_apply(lambda p: p + 1, x[:2], chunk=4), x[:2] + 1)
+
+
+def test_decode_batch_matches_single():
+    """The frame-vectorized decode returns exactly the per-frame results."""
+    from moditalker_tpu.preprocess.s3fd import decode_detections_batch
+
+    rng = np.random.default_rng(5)
+    t = 4
+    olist = []
+    for hw in (16, 8, 4, 2, 1, 1):
+        conf1 = rng.uniform(0, 1, (t, hw, hw, 1)).astype(np.float32)
+        olist.append(np.concatenate([1 - conf1, conf1], axis=-1))
+        olist.append(rng.normal(scale=0.3, size=(t, hw, hw, 4))
+                     .astype(np.float32))
+    batch = decode_detections_batch(olist, threshold=0.8)
+    assert len(batch) == t
+    for i in range(t):
+        single = decode_detections([o[i : i + 1] for o in olist],
+                                   threshold=0.8)
+        np.testing.assert_allclose(batch[i], single)
+        if single.shape[0] > 1:  # sorted best-first
+            assert (np.diff(single[:, 4]) <= 1e-12).all()
