@@ -321,15 +321,16 @@ class FanLandmarker:
 
     @classmethod
     def with_s3fd(cls, fan_params, s3fd_params, num_modules: int = 4,
-                  threshold: float = 0.5) -> "FanLandmarker":
+                  threshold: float = 0.5, chunk: int = 64) -> "FanLandmarker":
         """Cold-start tracker: S3FD detects the face on frame 0, FAN tracks
         from there (the reference's face_alignment default —
         align_face_recon.py:155 builds FaceAlignment with its bundled SFD
-        detector)."""
+        detector). ``chunk`` sizes the fixed-shape dispatch for both nets."""
         from .s3fd import S3FDDetector
 
-        return cls(fan_params, num_modules=num_modules,
-                   detector_fn=S3FDDetector(s3fd_params, threshold))
+        return cls(fan_params, num_modules=num_modules, chunk=chunk,
+                   detector_fn=S3FDDetector(s3fd_params, threshold,
+                                            chunk=chunk))
 
     def landmarks_for_frame(self, frame_u8: np.ndarray,
                             prior) -> np.ndarray:

@@ -37,6 +37,13 @@ jax.config.update("jax_platforms", "cpu")
 # device count, which the lines above pin.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# ... and export it as env vars so test SUBPROCESSES (the graft-entry dry
+# runs, CLI round-trips) inherit the cache too — the driver-env regression
+# test alone recompiled ~3.5 min of programs per run without this.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.abspath(_cache_dir))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 # 0.0, not the 1.0 default-ish threshold: eager `.init`/`.apply` in tests
 # triggers hundreds of tiny (~80 ms) op-by-op compiles per test, all below
 # any nonzero threshold — measured 48 s of backend_compile in ONE tiny-UNet

@@ -125,7 +125,7 @@ def test_reconstructor_pipeline(tmp_path):
     model = ReconNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 224, 224, 3)))
-    recon = Reconstructor(params, rng.normal(size=(5, 3)))
+    recon = Reconstructor(params, rng.normal(size=(5, 3)), chunk=4)
     frames = rng.integers(0, 255, (3, 300, 280, 3)).astype(np.uint8)
     lm68 = rng.uniform(60, 220, (3, 68, 2))
     coeff, trans_params = recon.recon_coeff(frames, lm68)

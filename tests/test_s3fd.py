@@ -106,7 +106,8 @@ def test_fan_cold_start_with_s3fd(s3fd_params):
     fan_model = FAN(num_modules=1)
     fan_p = jax.jit(fan_model.init)(jax.random.PRNGKey(1),
                                     jnp.zeros((1, 256, 256, 3)))
-    lmk = FanLandmarker.with_s3fd(fan_p, s3fd_p, num_modules=1)
+    lmk = FanLandmarker.with_s3fd(fan_p, s3fd_p, num_modules=1,
+                                  chunk=4)
     frames = np.random.default_rng(2).integers(
         0, 255, (2, 96, 96, 3)).astype(np.uint8)
     out = lmk(frames)
@@ -134,7 +135,8 @@ def test_fan_batched_path_with_box_detector():
         def __call__(self, frame):  # pragma: no cover
             raise AssertionError("batched path should be used")
 
-    lmk = FanLandmarker(fan_p, num_modules=1, detector_fn=FakeDet())
+    lmk = FanLandmarker(fan_p, num_modules=1, detector_fn=FakeDet(),
+                        chunk=4)
     frames = np.random.default_rng(3).integers(
         0, 255, (3, 96, 96, 3)).astype(np.uint8)
     out = lmk(frames)
