@@ -94,26 +94,38 @@ def main():
     s3_params = jax.jit(s3_model.init)(key, jnp.zeros((1, 256, 256, 3)))
     s3_det = S3FDDetector(s3_params)
 
+    align_phases: dict[str, float] = {}
+
+    def timed(name, fn):
+        def wrap(*a, **kw):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            align_phases[name] = (align_phases.get(name, 0.0)
+                                  + time.perf_counter() - t0)
+            return out
+        return wrap
+
     def landmark_fn(frames_u8):
         # the reference detects + landmarks every frame independently
         # (align_face_recon.py:155-163) — both nets batch over frames.
         # Random S3FD weights rarely clear the detection threshold, so the
         # timed path pays the real batched detector forward and falls back
         # to fixed boxes for the FAN crops (identical FLOPs to detections).
-        boxes = s3_det.boxes_for_frames(frames_u8)
+        boxes = timed("s3fd", s3_det.boxes_for_frames)(frames_u8)
         if boxes is None:
             t = frames_u8.shape[0]
             h, w = frames_u8.shape[1:3]
             boxes = np.tile(np.array(
                 [[w * 0.22, h * 0.22, w * 0.78, h * 0.78]]), (t, 1))
-        return fan.landmarks_batched(frames_u8, boxes)
+        return timed("fan", fan.landmarks_batched)(frames_u8, boxes)
 
     recon_model = ReconNet()
     recon_params = jax.jit(recon_model.init)(key,
                                              jnp.zeros((1, 224, 224, 3)))
     lm3d_std = synthetic_lm3d_std()
     recon = Reconstructor(recon_params, lm3d_std)
-    aligner = MotionAligner(landmark_fn, recon.coeff_fn(), lm3d_std)
+    aligner = MotionAligner(landmark_fn, timed("recon", recon.coeff_fn()),
+                            lm3d_std)
 
     ae_cfg = MtovAEConfig()
     unet_cfg = MtovUNetConfig()
@@ -165,10 +177,15 @@ def main():
     # ---------------- stage 3: motion alignment (FAN + recon) --------------
     # warmup: compile the FAN and recon programs on a 2-frame slice
     _ = aligner.align_sequence(lm3d[0][:2], driving[:2])
+    align_phases.clear()
     t0 = time.perf_counter()
     aligned = aligner.align_sequence(lm3d[0], driving)
     stages["align"] = time.perf_counter() - t0
-    log(f"align {stages['align']:.2f}s → {aligned.shape}")
+    other = stages["align"] - sum(align_phases.values())
+    log(f"align {stages['align']:.2f}s → {aligned.shape} "
+        f"(phases: " + " ".join(f"{k}={v:.2f}s"
+                                for k, v in align_phases.items())
+        + f" other(host math)={other:.2f}s)")
 
     # ---------------- stage 4: MToV AR windows -----------------------------
     aligned_i = np.clip(np.nan_to_num(aligned), 0, 255).astype(int)
@@ -247,6 +264,8 @@ def main():
             "total_seconds_fast_mode": round(total_fast, 2),
             "fast_mode_s_per_s": round(total_fast / gen_seconds, 3),
             "stages_seconds": {k: round(v, 3) for k, v in stages.items()},
+            "align_phases_seconds": {k: round(v, 3)
+                                     for k, v in align_phases.items()},
             "wall_with_compile": round(time.perf_counter() - t_wall, 1),
             "note": "random weights (identical FLOPs); stage order = ref "
                     "README.md:109-147; mtov = DDIM-100 windows, "

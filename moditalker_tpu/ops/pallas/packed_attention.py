@@ -138,8 +138,11 @@ def packed_attention_viable(l: int, c: int, heads: int) -> bool:
     # ([4,2048,128]×8h: 1.62 vs 1.91 ms; ties at L=1024) — larger head dims
     # contract deep enough that the head-split flash path is faster
     # ([4,512,256]×8h dh=32: 1.83 vs 1.12 ms against this kernel).
+    # MODITALKER_PACKED_MIN_L overrides the L floor for A/B runs (the ds=1
+    # ytxt 2D attention is [2B, 512, 128]×8h, just under the default gate).
+    min_l = int(os.environ.get("MODITALKER_PACKED_MIN_L", "1024"))
     return (c % _LANES == 0 and c % heads == 0 and c // heads == 16
-            and 1024 <= l <= 4096 and l % 8 == 0 and _block_q(l, c) > 0
+            and min_l <= l <= 4096 and l % 8 == 0 and _block_q(l, c) > 0
             and l * c * 2 * 2 <= 4 * 1024 * 1024)  # k+v resident in VMEM
 
 

@@ -66,6 +66,17 @@ def main():
     dt = timeit(f, (qkv,), it, chain_first)
     print(f"packed_attention [4,2048,128]h8: {dt*1e6:.0f} us")
 
+    # 1b. ds=1 ytxt attn2d shape via packed kernel vs head-split reference
+    qkv5 = mk(8, 512, 3 * 128)
+    f = jax.jit(lambda t: pa._packed_fused(t, 8, 16 ** -0.5,
+                                           pa._block_q(512, 128)))
+    dt = timeit(f, (qkv5,), it, chain_first)
+    print(f"packed_attention [8,512,128]h8 (forced): {dt*1e6:.0f} us")
+    f = jax.jit(lambda t: pa.packed_attention_reference(t, 8, 16 ** -0.5,
+                                                        use_flash=False))
+    dt = timeit(f, (qkv5,), it, chain_first)
+    print(f"einsum reference [8,512,128]h8: {dt*1e6:.0f} us")
+
     # 2. onepass flash: joint attn folded heads [32, 2048, 16]
     q = mk(32, 2048, 16)
     f = jax.jit(lambda q: fa.onepass_attention(q, q, q, 16 ** -0.5))
