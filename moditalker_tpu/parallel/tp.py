@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.sharding import DATA_AXIS
