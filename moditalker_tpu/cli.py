@@ -400,6 +400,9 @@ def cmd_sample(args):
                                      resolution=ae_cfg.resolution,
                                      kpt_dir=args.kpt_dir)
     key = jax.random.PRNGKey(args.seed)
+    import time as _time
+
+    t0 = _time.perf_counter()
     if args.batch > 1:
         if not args.no_last_as_reference:
             sys.exit("--batch > 1 batches INDEPENDENT windows; it requires "
@@ -413,6 +416,10 @@ def cmd_sample(args):
             ds.windows(), key,
             use_last_as_reference=not args.no_last_as_reference,
             noised_start_ratio=args.noised_start_ratio)
+    dt = _time.perf_counter() - t0
+    nf = frames.shape[0] * frames.shape[1]
+    print(f"sampled {nf} frames in {dt:.2f}s ({nf / dt:.2f} frames/s, "
+          f"incl. one-time compile)", file=sys.stderr)
     out = write_video(frames[0], os.path.join(args.out_dir, "sample.mp4"),
                       fps=25, audio_path=args.audio)
     print(f"video: {out}")
@@ -513,7 +520,25 @@ def _save_state(state, out_dir, name):
         print(f"checkpoint save failed: {e}", file=sys.stderr)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI command: repeat
+    invocations (serving restarts, per-clip preprocessing runs) skip
+    compilation entirely. JAX_COMPILATION_CACHE_DIR overrides the default
+    ~/.cache/moditalker_tpu/jax."""
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "moditalker_tpu", "jax")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="moditalker_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -30,4 +30,7 @@ run bench_minl256 env MODITALKER_PACKED_MIN_L=256 python bench.py
 # 5. e2e with align-phase breakdown (transfer-lean preprocessing)
 run bench_e2e python bench_e2e.py
 
+# 6. user-facing CLI throughput vs bench.py (VERDICT r2 weak #5)
+run cli_sample python tools/bench_cli_sample.py --batch 4
+
 echo "all outputs in $OUT"
