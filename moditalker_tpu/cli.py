@@ -139,10 +139,12 @@ def cmd_train_first_stage(args):
     name = "ae_ldmk" if args.landmark else "ae_rgb"
     logger = MetricLogger(os.path.join(args.out_dir, "logs"))
     ckpt = CheckpointManager(os.path.join(args.out_dir, name + "_ckpt"))
+    from .core.preempt import GracefulStop
+
     trainer.fit(({vkey: b[vkey]} for b in src), max_steps=args.steps,
                 logger=logger, ckpt_manager=ckpt,
                 eval_every=args.eval_every, eval_fn=eval_fn,
-                log_every=10)
+                log_every=10, stop=GracefulStop().install())
     _save_state(trainer.state, args.out_dir, name)
 
 
@@ -237,9 +239,12 @@ def cmd_train_diffusion(args):
             f"{k}={v:.4f}" for k, v in out.items()))
         return out
 
+    from .core.preempt import GracefulStop
+
     loop.fit(batches, max_steps=args.steps, logger=logger,
              ckpt_manager=ckpt, ckpt_every=args.ckpt_every,
-             eval_every=args.eval_every, eval_fn=eval_fn)
+             eval_every=args.eval_every, eval_fn=eval_fn,
+             stop=GracefulStop().install())
     print(f"EMA checkpoints: {os.path.join(args.out_dir, 'diffusion_ema')}")
 
 

@@ -28,11 +28,22 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any):
+    def save(self, step: int, state: Any, blocking: bool = False):
+        """Async by default: orbax snapshots the tree to host memory and
+        persists in a background thread, so the train loop resumes
+        immediately instead of stalling for serialization. Call ``wait()``
+        (the fit loops do, at exit) or pass ``blocking=True`` for a
+        durability barrier."""
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if blocking:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Block until every pending async save is durable on disk."""
         self._mgr.wait_until_finished()
 
     def restore(self, step: int | None = None, template: Any = None):
+        self._mgr.wait_until_finished()  # never read behind a pending save
         step = self.latest_step() if step is None else step
         if step is None:
             return None
@@ -43,6 +54,7 @@ class CheckpointManager:
         return self._mgr.restore(step)
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def close(self):

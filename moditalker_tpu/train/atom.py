@@ -112,10 +112,17 @@ class AtomTrainer:
         return metrics
 
     def fit(self, dataset, epochs: int | None = None, log_every: int = 100,
-            ckpt_manager=None, ckpt_every: int = 2000, logger=None):
+            ckpt_manager=None, ckpt_every: int = 2000, logger=None,
+            stop=None):
+        """``stop``: optional ``core.preempt.GracefulStop`` — polled each
+        step; on preemption the loop saves a final checkpoint and drains
+        pending writes before returning."""
         epochs = epochs if epochs is not None else self.train_cfg.epochs
         it = 0
+        last_saved = None
         for epoch in range(1, epochs + 1):
+            if stop is not None and stop.requested:
+                break
             host_batches = (
                 dict(zip(("residual", "face", "cond"),
                          training_arrays(b, self.model_cfg.horizon)))
@@ -132,4 +139,11 @@ class AtomTrainer:
                         it, {k: float(v) for k, v in metrics.items()})
                 if ckpt_manager is not None and it % ckpt_every == 0:
                     ckpt_manager.save(it, self.state._asdict())
+                    last_saved = it
+                if stop is not None and stop.requested:
+                    break
+        if ckpt_manager is not None:
+            if stop is not None and stop.requested and it != last_saved:
+                ckpt_manager.save(it, self.state._asdict())
+            ckpt_manager.wait()  # async saves: durability barrier at exit
         return self.state

@@ -190,12 +190,15 @@ class LatentDiffusionLoop:
 
     def fit(self, batches, max_steps: int, logger=None, ckpt_manager=None,
             ckpt_every: int = 1000, log_every: int = 50,
-            eval_every: int | None = None, eval_fn=None):
+            eval_every: int | None = None, eval_fn=None, stop=None):
         """``eval_fn(loop, it) -> dict`` runs every ``eval_every`` steps
         (defaults to ckpt_every — the reference probes and checkpoints at
-        the same it%1000 cadence, trainer.py:122-130)."""
+        the same it%1000 cadence, trainer.py:122-130). ``stop``: optional
+        ``core.preempt.GracefulStop``, polled each step — on preemption a
+        final checkpoint is saved and drained before returning."""
         eval_every = ckpt_every if eval_every is None else eval_every
         it = 0
+        last_saved = None
         for batch in shard_lib.device_prefetch(batches, self.trainer.mesh):
             self.trainer._key, sub = jax.random.split(self.trainer._key)
             self.trainer.state, metrics = self._fused(
@@ -216,6 +219,15 @@ class LatentDiffusionLoop:
                 ckpt_manager.save(
                     it, host_tree({"ema_params": self.trainer.state.ema_params,
                                    "step": self.trainer.state.step}))
-            if it >= max_steps:
+                last_saved = it
+            if it >= max_steps or (stop is not None and stop.requested):
                 break
+        if ckpt_manager is not None:
+            if stop is not None and stop.requested and it != last_saved:
+                from ..core.checkpoint import host_tree
+
+                ckpt_manager.save(
+                    it, host_tree({"ema_params": self.trainer.state.ema_params,
+                                   "step": self.trainer.state.step}))
+            ckpt_manager.wait()  # async saves: durability barrier at exit
         return self.trainer.state

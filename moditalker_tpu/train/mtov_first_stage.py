@@ -233,10 +233,15 @@ class FirstStageTrainer:
         return metrics
 
     def fit(self, batches, max_steps: int, logger=None, ckpt_manager=None,
-            eval_every: int = 2000, eval_fn=None, log_every: int = 50):
+            eval_every: int = 2000, eval_fn=None, log_every: int = 50,
+            stop=None):
         """Training loop with the reference's probe/checkpoint cadence
         (trainer.py:232-257: PSNR/rFVD probes + full state save every
-        2000 iters). ``batches`` yields dicts with 'x' (or 'x_l')."""
+        2000 iters). ``batches`` yields dicts with 'x' (or 'x_l').
+        ``stop``: optional ``core.preempt.GracefulStop`` — polled each step;
+        on preemption a final checkpoint is saved and drained."""
+        last_saved = None
+        it = self._it
         for batch in batches:
             video = batch["x_l" if self.freeze_decoder else "x"]
             metrics = self.step(video)
@@ -251,6 +256,13 @@ class FirstStageTrainer:
                     from ..core.checkpoint import host_tree
 
                     ckpt_manager.save(it, host_tree(self.state._asdict()))
-            if it >= max_steps:
+                    last_saved = it
+            if it >= max_steps or (stop is not None and stop.requested):
                 break
+        if ckpt_manager is not None:
+            if stop is not None and stop.requested and it != last_saved:
+                from ..core.checkpoint import host_tree
+
+                ckpt_manager.save(it, host_tree(self.state._asdict()))
+            ckpt_manager.wait()  # async saves: durability barrier at exit
         return self.state
