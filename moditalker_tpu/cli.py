@@ -60,24 +60,31 @@ def cmd_train_atom(args):
         cfg.atom_train,
         batch_size=args.batch_size or cfg.atom_train.batch_size,
         seed=args.seed)
+    from .core.checkpoint import CheckpointManager
+    from .core.logging import MetricLogger
+    from .core.preempt import GracefulStop
+
     trainer = AtomTrainer(cfg.atom_model, cfg.atom_diffusion, train_cfg=tc)
     if args.synthetic or args.data_root is None:
         batch = synthetic_batch(tc.batch_size, cfg.atom_model.horizon,
                                 seed=args.seed)
-        for i in range(args.steps):
-            m = trainer.step(batch)
-            if i % 10 == 0:
-                print(f"step {i}: loss {float(m['loss']):.4f}")
+
+        class _Synthetic:  # iter_epoch shim with the LRS3 batch layout
+            def iter_epoch(self, batch_size, seed=0, **kw):
+                for _ in range(args.steps):
+                    yield batch
+
+        ds = _Synthetic()
     else:
         ds = AtomSequenceDataset(args.data_root, "train")
-        it = 0
-        for batch in ds.iter_epoch(tc.batch_size, seed=args.seed):
-            m = trainer.step(batch)
-            it += 1
-            if it % 10 == 0:
-                print(f"step {it}: loss {float(m['loss']):.4f}")
-            if it >= args.steps:
-                break
+    logger = MetricLogger(os.path.join(args.out_dir, "logs"))
+    ckpt = CheckpointManager(os.path.join(args.out_dir, "atom_ckpt"))
+    # {params, ema_params, opt_state} checkpointed every --ckpt-every steps
+    # (ref AToM.py:188-196 saves {ema, model, optimizer} per save_interval)
+    trainer.fit(ds, epochs=10**9 if args.steps else None, log_every=10,
+                ckpt_manager=ckpt, ckpt_every=args.ckpt_every,
+                logger=logger, stop=GracefulStop().install(),
+                max_steps=args.steps)
     _save_state(trainer.state, args.out_dir, "atom")
 
 
@@ -549,6 +556,9 @@ def main(argv=None):
 
     p = sub.add_parser("train-atom")
     _add_common(p)
+    p.add_argument("--ckpt-every", type=int, default=2000,
+                   help="{params, ema, opt_state} save cadence "
+                        "(ref AToM.py save_interval)")
     p.set_defaults(fn=cmd_train_atom)
 
     p = sub.add_parser("train-first-stage")

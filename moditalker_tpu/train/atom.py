@@ -113,15 +113,17 @@ class AtomTrainer:
 
     def fit(self, dataset, epochs: int | None = None, log_every: int = 100,
             ckpt_manager=None, ckpt_every: int = 2000, logger=None,
-            stop=None):
+            stop=None, max_steps: int | None = None):
         """``stop``: optional ``core.preempt.GracefulStop`` — polled each
         step; on preemption the loop saves a final checkpoint and drains
-        pending writes before returning."""
+        pending writes before returning. ``max_steps`` bounds total steps
+        across epochs (None = epochs bound only)."""
         epochs = epochs if epochs is not None else self.train_cfg.epochs
         it = 0
         last_saved = None
+        done = False
         for epoch in range(1, epochs + 1):
-            if stop is not None and stop.requested:
+            if done or (stop is not None and stop.requested):
                 break
             host_batches = (
                 dict(zip(("residual", "face", "cond"),
@@ -140,7 +142,9 @@ class AtomTrainer:
                 if ckpt_manager is not None and it % ckpt_every == 0:
                     ckpt_manager.save(it, self.state._asdict())
                     last_saved = it
-                if stop is not None and stop.requested:
+                if ((stop is not None and stop.requested)
+                        or (max_steps is not None and it >= max_steps)):
+                    done = True
                     break
         if ckpt_manager is not None:
             if stop is not None and stop.requested and it != last_saved:
