@@ -117,12 +117,23 @@ class MtovSamplePipeline:
         this is where per-chip throughput is won over the reference's
         one-window-at-a-time loop (sample.py:305). Returns [1, n*T, H, W, 3]
         uint8."""
-        ws = [w for w in windows]
-        if not ws:
-            return np.zeros((1, 0, 0, 0, 3), np.uint8)
+        import itertools
+
+        it = iter(windows)
         outs = []
-        for lo in range(0, len(ws), batch):
-            chunk = ws[lo : lo + batch]
+        pending = None  # (device array still computing, n_real)
+
+        def flush():
+            g, n = pending
+            g = to_uint8(g)[:n]     # blocks on the fetch
+            outs.append(g.reshape(1, -1, *g.shape[2:]))
+
+        while True:
+            # stream the iterator (host prep — JPEG decode, rasterize —
+            # overlaps the async device dispatch of the previous chunk)
+            chunk = list(itertools.islice(it, batch))
+            if not chunk:
+                break
             n_real = len(chunk)
             while len(chunk) < batch:   # pad to the compiled batch shape
                 chunk.append(chunk[-1])
@@ -134,8 +145,12 @@ class MtovSamplePipeline:
                 jnp.asarray(stacked["x_ref"]), sub,
                 gt_video=stacked.get("x"),
                 noised_start_ratio=noised_start_ratio)
-            gen = to_uint8(gen)[:n_real]
-            outs.append(gen.reshape(1, -1, *gen.shape[2:]))
+            if pending is not None:
+                flush()
+            pending = (gen, n_real)
+        if pending is None:
+            return np.zeros((1, 0, 0, 0, 3), np.uint8)
+        flush()
         return np.concatenate(outs, axis=1)
 
     def sample_long(self, windows, key, use_last_as_reference: bool = True,
@@ -148,7 +163,9 @@ class MtovSamplePipeline:
         """
         out_frames = []
         last_frame = None
-        for i, w in enumerate(windows):
+        it = iter(windows)
+        w = next(it, None)
+        while w is not None:
             key, sub = jax.random.split(key)
             ref = w["x_ref"]
             if use_last_as_reference and last_frame is not None:
@@ -158,6 +175,11 @@ class MtovSamplePipeline:
                 w["x_l"], w["masked_x"], jnp.asarray(ref), sub,
                 gt_video=w.get("x"),
                 noised_start_ratio=noised_start_ratio)
+            # jax dispatch is async: pull (and host-prepare — JPEG decode,
+            # rasterization) the NEXT window while the device runs this
+            # one, then block on the fetch. The AR chain only needs the
+            # fetched last frame at the next dispatch.
+            w = next(it, None)
             gen = np.asarray(gen)
             last_frame = gen[:, -1]
             out_frames.append(to_uint8(gen))

@@ -222,3 +222,58 @@ def test_atom_infer_batched_matches_layout(tmp_path):
         assert np.isfinite(arr).all()
     a, b = np.load(paths["id0"]), np.load(paths["id1"])
     assert not np.allclose(a, b)
+
+
+def test_sample_independent_padded_tail_and_streaming():
+    """3 windows at batch 2: the tail chunk pads by repetition and trims
+    back; the streaming lookahead (host prep of chunk k+1 overlapping
+    device chunk k) returns the same frames as eager iteration."""
+    import jax
+
+    from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,
+                                       MtovUNetConfig)
+    from moditalker_tpu.pipelines.mtov_sample import MtovSamplePipeline
+
+    ae_cfg = MtovAEConfig(channels=32, resolution=32, timesteps=4, depth=1,
+                          heads=2, dim_head=8, quant_depth=1, quant_heads=2,
+                          quant_mlp_dim=16, down=3)
+    unet_cfg = MtovUNetConfig(model_channels=32, num_res_blocks=1,
+                              channel_mult=(1, 2),
+                              attention_resolutions=(1, 2), num_heads=2,
+                              latent_res=ae_cfg.latent_res,
+                              latent_t=ae_cfg.timesteps)
+    diff_cfg = MtovDiffusionConfig(timesteps=8, sampling_timesteps=2)
+    key = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    from moditalker_tpu.models.mtov import MtovDDPM, ViTAutoencoder
+
+    ae = ViTAutoencoder(ae_cfg)
+    ddpm = MtovDDPM.create(unet_cfg, diff_cfg)
+    L = ae_cfg.latent_len
+    aep = jax.jit(ae.init)(key, jnp.zeros((1, 4, 32, 32, 3)))
+    up = jax.jit(ddpm.model.init)(key, jnp.zeros((1, 4, L)),
+                                  jnp.zeros((1, 8, L)), jnp.zeros((1, 4, L)),
+                                  jnp.zeros((1,), "int32"))
+    pipe = MtovSamplePipeline(aep, aep, up, ae_cfg, unet_cfg, diff_cfg)
+
+    rng = np.random.default_rng(0)
+
+    def windows(n):
+        for i in range(n):
+            r = np.random.default_rng(i)
+            yield {"x_l": r.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(
+                       np.float32),
+                   "masked_x": r.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(
+                       np.float32),
+                   "x_ref": r.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(
+                       np.float32)}
+
+    out3 = pipe.sample_independent(windows(3), jax.random.PRNGKey(1),
+                                   batch=2)
+    assert out3.shape == (1, 12, 32, 32, 3)  # 3 windows x 4 frames, trimmed
+    # the padded tail must not duplicate: window 2 != window 1 frames
+    assert not np.array_equal(out3[0, 4:8], out3[0, 8:12])
+    # empty iterator stays well-formed
+    out0 = pipe.sample_independent(iter(()), jax.random.PRNGKey(1), batch=2)
+    assert out0.shape[1] == 0
