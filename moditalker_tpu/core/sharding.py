@@ -61,6 +61,52 @@ def init_distributed():
         pass  # single-process run
 
 
+def background_iter(iterator, depth: int = 2):
+    """Run a host-side batch iterator in a daemon thread with a bounded
+    queue — the JAX analog of the reference's torch DataLoader workers
+    (tools/dataloader.py num_workers=4): JPEG decode / rasterization /
+    collate for batch k+1 overlap the device step on batch k. Exceptions
+    re-raise in the consumer. If the consumer abandons the generator early
+    (preemption, max_steps), its close/GC sets a latch the producer polls,
+    so the thread exits instead of blocking on a full queue forever."""
+    import queue as _q
+    import threading
+
+    q: _q.Queue = _q.Queue(maxsize=depth)
+    _END = object()
+    closed = threading.Event()
+
+    def _put(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _q.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if not _put(item):
+                    return
+            _put(_END)
+        except BaseException as e:  # propagate into the consumer
+            _put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        closed.set()  # runs on exhaustion, close(), and GC alike
+
+
 def device_prefetch(batch_iterator, mesh: Mesh, depth: int = 2):
     """Double-buffered host→device staging: puts the next batch onto the
     mesh while the current step computes. The reference relies on torch

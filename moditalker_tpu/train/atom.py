@@ -130,8 +130,9 @@ class AtomTrainer:
                          training_arrays(b, self.model_cfg.horizon)))
                 for b in dataset.iter_epoch(self.train_cfg.batch_size,
                                             seed=epoch))
-            for dev_batch in shard_lib.device_prefetch(host_batches,
-                                                       self.mesh):
+            # background host prep (decode/collate) + double-buffered H2D
+            for dev_batch in shard_lib.device_prefetch(
+                    shard_lib.background_iter(host_batches), self.mesh):
                 self._key, sub = jax.random.split(self._key)
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       sub)

@@ -199,7 +199,8 @@ class LatentDiffusionLoop:
         eval_every = ckpt_every if eval_every is None else eval_every
         it = 0
         last_saved = None
-        for batch in shard_lib.device_prefetch(batches, self.trainer.mesh):
+        for batch in shard_lib.device_prefetch(
+                shard_lib.background_iter(batches), self.trainer.mesh):
             self.trainer._key, sub = jax.random.split(self.trainer._key)
             self.trainer.state, metrics = self._fused(
                 self.trainer.state, self.ae_rgb_params, self.ae_ldmk_params,

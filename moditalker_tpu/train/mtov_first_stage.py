@@ -242,7 +242,10 @@ class FirstStageTrainer:
         on preemption a final checkpoint is saved and drained."""
         last_saved = None
         it = self._it
-        for batch in batches:
+        from ..core import sharding as shard_lib
+
+        # background host prep: JPEG decode/rasterize batch k+1 during step k
+        for batch in shard_lib.background_iter(batches):
             video = batch["x_l" if self.freeze_decoder else "x"]
             metrics = self.step(video)
             it = self._it

@@ -44,9 +44,11 @@ def test_sigterm_saves_final_checkpoint(tmp_path):
     ckpt = CheckpointManager(str(tmp_path / "ck"))
     state = trainer.fit(_batches(stop, preempt_at=3), max_steps=10**6,
                         ckpt_manager=ckpt, eval_every=10**6, stop=stop)
-    # the loop must have stopped at the preempted step, not max_steps
+    # the loop must have stopped near the preempted step, not max_steps
+    # (the background prefetcher runs the generator ahead of the consumer,
+    # so the signal can land 1-2 steps before the consumer reaches item 3)
     it = int(state.step)
-    assert 2 <= it <= 4, it
+    assert 1 <= it <= 4, it
     assert ckpt.latest_step() == it
     restored = ckpt.restore(template=trainer.host_state_template()
                             if hasattr(trainer, "host_state_template")
