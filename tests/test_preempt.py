@@ -40,6 +40,7 @@ def _batches(stop, preempt_at):
 
 def test_sigterm_saves_final_checkpoint(tmp_path):
     trainer = FirstStageTrainer(AE_TINY, LOSS, TRAIN, mesh=_mesh1())
+    before = signal.getsignal(signal.SIGTERM)
     stop = GracefulStop().install(signals=(signal.SIGTERM,))
     ckpt = CheckpointManager(str(tmp_path / "ck"))
     state = trainer.fit(_batches(stop, preempt_at=3), max_steps=10**6,
@@ -55,8 +56,9 @@ def test_sigterm_saves_final_checkpoint(tmp_path):
                             else None)
     assert restored is not None
     assert int(np.asarray(restored["step"])) == it
-    # second signal after restore: handlers were restored to the defaults
-    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    # first delivery restored whatever handler was installed before ours
+    # (SIG_DFL standalone; pytest plugins may own it in a full-suite run)
+    assert signal.getsignal(signal.SIGTERM) == before
 
 
 def test_graceful_stop_request_programmatic(tmp_path):
