@@ -53,3 +53,36 @@ def test_device_prefetch_yields_all():
     for i, b in enumerate(out):
         assert float(jnp.mean(b["x"])) == float(i)
         assert b["x"].sharding.spec == P("data")
+
+
+def test_background_iter_order_exceptions_and_early_exit():
+    from moditalker_tpu.core.sharding import background_iter
+
+    # order-preserving
+    assert list(background_iter(iter(range(20)), depth=3)) == list(range(20))
+
+    # exceptions propagate to the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = background_iter(boom())
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
+
+    # early consumer exit releases the producer thread (close latch)
+    import threading
+
+    n_before = threading.active_count()
+    g = background_iter(iter(range(10**6)), depth=2)
+    next(g)
+    g.close()
+    import time
+
+    deadline = time.time() + 5
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
