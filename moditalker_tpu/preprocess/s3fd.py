@@ -175,20 +175,97 @@ def nms(dets: np.ndarray, thresh: float) -> list[int]:
 _BGR_MEANS = np.array([104.0, 117.0, 123.0], np.float32)
 
 
+def topk_candidates(olist, k: int = 128, threshold: float = 0.5):
+    """Device-side compaction of the 12 detection maps: per scale, the
+    top-k face-confidence anchors (scores, flat indices, loc vectors), the
+    per-frame above-threshold count, and the (static) map size. Shrinks the
+    per-chunk fetch from ~8 MB of maps to ~1 MB of candidates; exact as
+    long as count ≤ k (callers fall back to the full maps otherwise).
+    jnp in, jnp out — runs inside the jitted detector program."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = []
+    for i in range(len(olist) // 2):
+        conf, loc = olist[2 * i], olist[2 * i + 1]
+        t, h, w = conf.shape[0], conf.shape[1], conf.shape[2]
+        flat = conf[..., 1].reshape(t, h * w)
+        kk = min(k, h * w)
+        score, idx = lax.top_k(flat, kk)
+        loc_flat = loc.reshape(t, h * w, 4)
+        cand_loc = jnp.take_along_axis(loc_flat, idx[..., None], axis=1)
+        count = (flat > threshold).sum(axis=-1).astype(jnp.int32)
+        # hw broadcast per frame so every leaf shares the leading chunk
+        # axis (padded_chunk_apply trims/concats all leaves on axis 0)
+        out.append({"score": score, "idx": idx.astype(jnp.int32),
+                    "loc": cand_loc, "count": count,
+                    "hw": jnp.broadcast_to(
+                        jnp.array([h, w], jnp.int32), (t, 2))})
+    return out
+
+
+def decode_candidates(cands, threshold: float = 0.5,
+                      variances=(0.1, 0.2)) -> list[np.ndarray]:
+    """SSD decode + per-frame NMS from ``topk_candidates`` output. Same
+    results as ``decode_detections_batch`` on the full maps whenever every
+    per-frame above-threshold count fits in the candidate budget."""
+    t_total = int(np.asarray(cands[0]["score"]).shape[0])
+    per_frame: list[list[np.ndarray]] = [[] for _ in range(t_total)]
+    for i, c in enumerate(cands):
+        stride = 2 << (i + 1)
+        score = np.asarray(c["score"])
+        idx = np.asarray(c["idx"])
+        loc = np.asarray(c["loc"])
+        w_map = int(np.asarray(c["hw"])[0, 1])
+        ts, js = np.nonzero(score > threshold)
+        if ts.size == 0:
+            continue
+        sel_idx = idx[ts, js]
+        ys, xs = sel_idx // w_map, sel_idx % w_map
+        d = loc[ts, js]
+        axc = stride / 2 + xs * stride
+        ayc = stride / 2 + ys * stride
+        cx = axc + d[:, 0] * variances[0] * stride * 4
+        cy = ayc + d[:, 1] * variances[0] * stride * 4
+        bw = stride * 4 * np.exp(d[:, 2] * variances[1])
+        bh = stride * 4 * np.exp(d[:, 3] * variances[1])
+        det = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+                        score[ts, js]], axis=1)
+        for f in np.unique(ts):
+            per_frame[int(f)].append(det[ts == f])
+    out = []
+    for rows in per_frame:
+        if not rows:
+            out.append(np.zeros((0, 5)))
+            continue
+        b = np.concatenate(rows, axis=0).astype(np.float64)
+        out.append(b[nms(b, 0.3)])
+    return out
+
+
 class S3FDDetector:
     """``detector_fn`` for FanLandmarker: frame [H,W,3] uint8 RGB →
     [x0,y0,x1,y1] of the highest-scoring face (None if no detection)."""
 
-    def __init__(self, params, threshold: float = 0.5, chunk: int = 64):
+    def __init__(self, params, threshold: float = 0.5, chunk: int = 64,
+                 topk: int = 128):
         self.model = S3FD()
         self.params = params
         self.threshold = threshold
         self.chunk = chunk
+        self.topk = topk
+
         # uint8 RGB frames in; RGB→BGR flip + mean subtraction on device
         # (a fp32 upload is 4× the bytes over the tunnel)
-        self._apply = jax.jit(lambda p, x_u8: self.model.apply(
-            p, x_u8[..., ::-1].astype(jnp.float32)
-            - jnp.asarray(_BGR_MEANS)))
+        def fwd(p, x_u8):
+            return self.model.apply(
+                p, x_u8[..., ::-1].astype(jnp.float32)
+                - jnp.asarray(_BGR_MEANS))
+
+        self._apply = jax.jit(fwd)
+        # compact program: only top-k candidates per scale leave the device
+        self._apply_topk = jax.jit(lambda p, x_u8: topk_candidates(
+            fwd(p, x_u8), topk, threshold))
 
     def __call__(self, frame_u8: np.ndarray):
         boxes = self.boxes_for_frames(frame_u8[None])
@@ -201,15 +278,28 @@ class S3FDDetector:
         frame's box when at least one frame detected."""
         from .batching import padded_chunk_apply
 
+        frames_c = np.ascontiguousarray(frames_u8)
         # fixed-chunk dispatch: one compiled program serves every clip
         # length (a per-length batch would recompile per video)
-        olist = padded_chunk_apply(
-            lambda part: self._apply(self.params, jnp.asarray(part)),
-            np.ascontiguousarray(frames_u8), self.chunk)
+        all_dets = None
+        tk = getattr(self, "_apply_topk", None)
+        if tk is not None:
+            cands = padded_chunk_apply(
+                lambda part: tk(self.params, jnp.asarray(part)),
+                frames_c, self.chunk)
+            if all(int(np.asarray(c["count"]).max(initial=0)) <= self.topk
+                   for c in cands):
+                all_dets = decode_candidates(cands, self.threshold)
+            # else: a frame overflows the candidate budget (crowded scene)
+            # — refetch the full maps below for exactness
+        if all_dets is None:
+            olist = padded_chunk_apply(
+                lambda part: self._apply(self.params, jnp.asarray(part)),
+                frames_c, self.chunk)
+            all_dets = decode_detections_batch(olist, self.threshold)
         t = frames_u8.shape[0]
         boxes = np.zeros((t, 4))
         have = np.zeros(t, bool)
-        all_dets = decode_detections_batch(olist, self.threshold)
         for i, dets in enumerate(all_dets):
             if dets.shape[0]:
                 boxes[i] = dets[0, :4]

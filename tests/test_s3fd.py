@@ -213,3 +213,65 @@ def test_decode_batch_matches_single():
         np.testing.assert_allclose(batch[i], single)
         if single.shape[0] > 1:  # sorted best-first
             assert (np.diff(single[:, 4]) <= 1e-12).all()
+
+
+def test_topk_candidates_decode_matches_full_maps():
+    """Device-side top-k compaction decodes to exactly the full-map results
+    when per-frame counts fit the budget; counts report overflow truthfully."""
+    from moditalker_tpu.preprocess.s3fd import (decode_candidates,
+                                                decode_detections_batch,
+                                                topk_candidates)
+
+    rng = np.random.default_rng(11)
+    t = 3
+    olist = []
+    for hw in (16, 8, 4, 2, 1, 1):
+        conf1 = rng.uniform(0, 1, (t, hw, hw, 1)).astype(np.float32)
+        olist.append(np.concatenate([1 - conf1, conf1], axis=-1))
+        olist.append(rng.normal(scale=0.3, size=(t, hw, hw, 4))
+                     .astype(np.float32))
+    thr = 0.8
+    cands = topk_candidates([jnp.asarray(o) for o in olist], 64, thr)
+    got = decode_candidates(jax.tree_util.tree_map(np.asarray, cands), thr)
+    want = decode_detections_batch(olist, thr)
+    assert len(got) == len(want) == t
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-6)
+    # counts are exact above-threshold tallies
+    for i, c in enumerate(cands):
+        flat = olist[2 * i][..., 1].reshape(t, -1)
+        np.testing.assert_array_equal(np.asarray(c["count"]),
+                                      (flat > thr).sum(-1))
+
+
+def test_boxes_for_frames_topk_and_fallback():
+    """The detector takes the compact path when counts fit, and refetches
+    the full maps when a frame overflows the candidate budget — identical
+    boxes either way."""
+    from moditalker_tpu.preprocess import s3fd as s3fd_mod
+
+    rng = np.random.default_rng(13)
+    t = 2
+    olist = []
+    for hw in (16, 8, 4, 2, 1, 1):
+        conf1 = (rng.uniform(0, 1, (t, hw, hw, 1)) > 0.7).astype(
+            np.float32) * 0.9
+        olist.append(np.concatenate([1 - conf1, conf1], axis=-1))
+        olist.append(rng.normal(scale=0.2, size=(t, hw, hw, 4))
+                     .astype(np.float32))
+
+    class Det(s3fd_mod.S3FDDetector):
+        def __init__(self, topk):
+            self.threshold = 0.5
+            self.chunk = 64
+            self.topk = topk
+            self.params = None
+            self._apply = lambda p, x: [jnp.asarray(o) for o in olist]
+            self._apply_topk = lambda p, x: s3fd_mod.topk_candidates(
+                [jnp.asarray(o) for o in olist], topk, 0.5)
+
+    frames = np.zeros((t, 16, 16, 3), np.uint8)
+    via_topk = Det(topk=512).boxes_for_frames(frames)
+    via_fallback = Det(topk=1).boxes_for_frames(frames)  # always overflows
+    assert via_topk is not None and via_fallback is not None
+    np.testing.assert_allclose(via_topk, via_fallback)
