@@ -14,21 +14,22 @@ run() { # name, cmd...
   echo "rc=$? (tail):"; tail -5 "$OUT/$name.out"
 }
 
-# 1. kernel A/B (new VPU-lean kernels vs DESIGN.md's recorded numbers)
-run kernels python tools/bench_kernels.py --unet
-
-# 2. packed-attention L-floor A/B for the ds=1 ytxt attn2d shape
-run kernels_minl256 env MODITALKER_PACKED_MIN_L=256 \
-    python tools/bench_kernels.py
-
-# 3. headline bench (default gate)
+# Ordered by importance (in case the relay window is short):
+# 1. headline bench (default gate)
 run bench python bench.py
 
-# 4. headline bench with the lowered packed gate (keep if faster)
+# 2. headline bench with the lowered packed gate (keep if faster)
 run bench_minl256 env MODITALKER_PACKED_MIN_L=256 python bench.py
 
-# 5. e2e with align-phase breakdown (transfer-lean preprocessing)
+# 3. e2e with align-phase breakdown (transfer-lean preprocessing)
 run bench_e2e python bench_e2e.py
+
+# 4. kernel A/B (new VPU-lean kernels vs DESIGN.md's recorded numbers)
+run kernels python tools/bench_kernels.py --unet
+
+# 5. packed-attention L-floor A/B for the ds=1 ytxt attn2d shape
+run kernels_minl256 env MODITALKER_PACKED_MIN_L=256 \
+    python tools/bench_kernels.py
 
 # 6. user-facing CLI throughput vs bench.py (VERDICT r2 weak #5)
 run cli_sample python tools/bench_cli_sample.py --batch 4
