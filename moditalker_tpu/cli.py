@@ -296,6 +296,7 @@ def _read_wav(path: str) -> np.ndarray:
 def cmd_process_audio(args):
     from .preprocess.audio import (extract_hubert_features,
                                    ffmpeg_resample_to_16k,
+                                   flax_hubert_forward,
                                    normalize_like_wav2vec2,
                                    torch_hubert_forward)
 
@@ -303,7 +304,14 @@ def cmd_process_audio(args):
     if args.resample:
         wav16 = ffmpeg_resample_to_16k(args.audio, args.audio + ".16k.wav")
     speech = _read_wav(wav16)
-    model_fn = torch_hubert_forward(device="cpu")
+    if args.hubert_ckpt:
+        # TPU-native path: jitted flax encoder with static-shape bucketing
+        # (one compiled program per bucket — no per-utterance recompiles)
+        from .core.checkpoint import load_single
+
+        model_fn = flax_hubert_forward(load_single(args.hubert_ckpt))
+    else:
+        model_fn = torch_hubert_forward(device="cpu")
     feats = extract_hubert_features(normalize_like_wav2vec2(speech), model_fn)
     np.save(args.out, feats)
     print(f"saved {args.out} {feats.shape}")
@@ -594,6 +602,10 @@ def main(argv=None):
     p.add_argument("--audio", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--resample", action="store_true")
+    p.add_argument("--hubert-ckpt", default=None,
+                   help="converted flax HuBERT params (convert-checkpoint "
+                        "--kind hubert) → jitted TPU path; default: torch "
+                        "transformers on host CPU")
     p.set_defaults(fn=cmd_process_audio)
 
     p = sub.add_parser("atom-infer")

@@ -90,21 +90,48 @@ def torch_hubert_forward(model_name: str = "facebook/hubert-large-ls960-ft",
     return fn
 
 
-def flax_hubert_forward(params, cfg=None):
-    """TPU-native model_fn: jitted flax HuBERT encoder. Because chunk
-    lengths are one of only two static shapes (full clip / tail), jit
-    compiles at most a handful of programs."""
+def conv_out_frames(n: int, cfg=None) -> int:
+    """Output frame count of the HuBERT conv feature extractor (VALID
+    convs) for an n-sample wave."""
+    from .hubert import HubertConfig
+
+    c = cfg or HubertConfig()
+    for k, s in zip(c.conv_kernel, c.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
+def flax_hubert_forward(params, cfg=None, bucket_samples: int = 32000):
+    """TPU-native model_fn: jitted flax HuBERT encoder with static-shape
+    bucketing. Full 10 s clips share one program; the per-utterance tail
+    chunk is zero-padded up to the next ``bucket_samples`` multiple (2 s
+    default) and masked — valid-frame outputs are exactly the unpadded
+    forward's (see HubertEncoder.__call__), so serving compiles at most
+    ~10 programs total instead of one 24-layer compile per distinct
+    utterance length."""
     import jax
     import jax.numpy as jnp
 
     from .hubert import HubertConfig, HubertEncoder
 
-    model = HubertEncoder(cfg or HubertConfig())
+    c = cfg or HubertConfig()
+    model = HubertEncoder(c)
     apply = jax.jit(model.apply)
 
     def fn(wave):
-        out = apply(params, jnp.asarray(wave))
-        return out[0]
+        wave = np.asarray(wave, np.float32)
+        n = wave.shape[1]
+        t_true = conv_out_frames(n, c)
+        full = CLIP_LENGTH - STRIDE + KERNEL
+        # chunk_bounds never exceeds `full`; an oversize caller wave just
+        # runs unpadded at its own shape
+        n_pad = n if n >= full else (
+            ((n + bucket_samples - 1) // bucket_samples) * bucket_samples)
+        if n_pad > n:
+            wave = np.pad(wave, ((0, 0), (0, n_pad - n)))
+        out = apply(params, jnp.asarray(wave),
+                    n_frames=jnp.array([t_true], jnp.int32))
+        return out[0, :t_true]
 
     return fn
 

@@ -86,14 +86,14 @@ class EncoderLayerStableLN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="attn_ln")(x)
         q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(h)
         kk = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(h)
         v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(h)
-        attn = multi_head_sdpa(q, kk, v, c.num_heads)
+        attn = multi_head_sdpa(q, kk, v, c.num_heads, mask=mask)
         x = x + nn.Dense(c.hidden_size, dtype=self.dtype,
                          name="out_proj")(attn)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
@@ -111,15 +111,36 @@ class HubertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wave):
+    def __call__(self, wave, n_frames=None):
+        """``n_frames`` [B] (optional): number of VALID output frames when
+        ``wave`` is zero-padded to a static bucket length. Valid-frame
+        outputs are exactly those of the unpadded forward: the VALID-conv
+        feature windows of valid frames never cover padding, padded frames
+        are zeroed before the positional conv (whose SAME padding already
+        contributes zeros past the true end), and attention masks padded
+        keys. One compiled program then serves every utterance length
+        (serving otherwise recompiles this 24-layer model per distinct
+        tail-chunk length, 20-40 s over the device tunnel)."""
         c = self.cfg
         feats = FeatureExtractor(c, self.dtype, name="feature_extractor")(wave)
+        mask = None
+        if n_frames is not None:
+            t = feats.shape[1]
+            valid = (jnp.arange(t)[None, :]
+                     < jnp.asarray(n_frames)[:, None])        # [B, T]
+            feats = jnp.where(valid[..., None], feats, 0.0)
+            mask = valid[:, None, None, :]                    # [B,1,1,T]
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="fp_ln")(feats)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fp_proj")(h)
+        if n_frames is not None:
+            # fp_ln/fp_proj give padded rows a constant bias value; zero
+            # them so pos_conv sees exactly the zeros SAME-padding implies
+            h = jnp.where(mask[:, 0, 0, :, None], h, 0.0)
         h = h + PositionalConvEmbedding(c, self.dtype, name="pos_conv")(h)
         for i in range(c.num_layers):
-            h = EncoderLayerStableLN(c, self.dtype, name=f"layer_{i}")(h)
+            h = EncoderLayerStableLN(c, self.dtype, name=f"layer_{i}")(
+                h, mask)
         # stable-layer-norm variant applies the encoder LN at the END
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                             name="encoder_ln")(h)

@@ -49,3 +49,52 @@ def test_convert_checkpoint_atom(tmp_path):
     w = np.asarray(tree["params"]["final_layer"]["kernel"])
     np.testing.assert_allclose(
         w, tmodel.final_layer.weight.detach().numpy().T, rtol=1e-6)
+
+
+def test_process_audio_flax_path(tmp_path, monkeypatch):
+    """--hubert-ckpt routes through the jitted flax encoder (bucketed
+    serving path) instead of torch transformers; verified with a tiny
+    checkpoint by stubbing the model builder while keeping the real
+    chunking + save pipeline."""
+    import wave as wavemod
+
+    import numpy as np
+
+    from moditalker_tpu import cli
+    from moditalker_tpu.core.checkpoint import save_single
+    from moditalker_tpu.preprocess import audio as audio_mod
+
+    wav = tmp_path / "a.wav"
+    sr = 16000
+    samples = (np.sin(np.linspace(0, 300, sr)) * 0.2 * 32767).astype(
+        np.int16)
+    with wavemod.open(str(wav), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(samples.tobytes())
+
+    ckpt = tmp_path / "hub"
+    save_single(str(ckpt), {"marker": np.arange(3.0)})
+
+    calls = {}
+
+    def fake_forward(params, cfg=None, bucket_samples=32000):
+        calls["params"] = params
+
+        def fn(wave_arr):
+            n = wave_arr.shape[1]
+            t = audio_mod.expected_num_frames(n)
+            return np.zeros((max(t, 1), 1024), np.float32)
+
+        return fn
+
+    monkeypatch.setattr(audio_mod, "flax_hubert_forward", fake_forward)
+    out = tmp_path / "feats.npy"
+    cli.main(["process-audio", "--audio", str(wav), "--out", str(out),
+              "--hubert-ckpt", str(ckpt)])
+    assert "params" in calls  # the flax path was taken with loaded params
+    np.testing.assert_allclose(np.asarray(calls["params"]["marker"]),
+                               np.arange(3.0))
+    feats = np.load(out)
+    assert feats.shape == (audio_mod.expected_num_frames(sr), 1024)

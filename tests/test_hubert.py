@@ -60,3 +60,57 @@ def test_hubert_framecount_matches_conv_math():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), wave)
     out = model.apply(params, wave)
     assert out.shape[1] == (n - (400 - 320)) // 320
+
+
+def test_masked_padded_forward_matches_unpadded():
+    """Zero-padding the wave to a static bucket + the frame mask reproduces
+    the unpadded forward exactly on the valid frames (the serving path:
+    one compiled program per bucket instead of one per utterance length)."""
+    _, jcfg = _tiny_cfgs()
+    model = HubertEncoder(jcfg)
+    rng = np.random.default_rng(0)
+    n = 437
+    wave = rng.normal(size=(1, n)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(wave))
+
+    from moditalker_tpu.preprocess.audio import conv_out_frames
+
+    t_true = conv_out_frames(n, jcfg)
+    plain = np.asarray(model.apply(params, jnp.asarray(wave)))
+    assert plain.shape[1] == t_true
+
+    padded = np.pad(wave, ((0, 0), (0, 600 - n)))
+    masked = np.asarray(model.apply(
+        params, jnp.asarray(padded),
+        n_frames=jnp.array([t_true], np.int32)))
+    np.testing.assert_allclose(masked[:, :t_true], plain,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flax_hubert_forward_bucketing_matches_plain():
+    """The bucketed serving model_fn produces the same features as the
+    per-length jit through the full reference chunking pipeline."""
+    from moditalker_tpu.preprocess import audio
+
+    # tiny model with hubert-large FRAME ARITHMETIC (total stride 320,
+    # footprint ≤ 400) so extract_hubert_features' expected_T holds
+    jcfg = HubertConfig(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+        conv_dim=(8, 8, 8), conv_stride=(5, 8, 8), conv_kernel=(10, 3, 3),
+        conv_bias=True, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    model = HubertEncoder(jcfg)
+    rng = np.random.default_rng(1)
+    wave = rng.normal(size=(1, 3000)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(wave))
+
+    bucketed = audio.flax_hubert_forward(params, jcfg, bucket_samples=4000)
+
+    def plain(w):
+        return np.asarray(model.apply(params, jnp.asarray(w)))[0]
+
+    speech = rng.normal(size=(10700,)).astype(np.float32)
+    got = audio.extract_hubert_features(speech, bucketed)
+    want = audio.extract_hubert_features(speech, plain)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
