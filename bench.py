@@ -75,9 +75,56 @@ def cost_flops(fn, *args) -> float | None:
         return None
 
 
+def preflight_kernels():
+    """Compile+run each Pallas kernel once at a tiny shape; on ANY failure
+    disable that family via its env gate so the bench still produces its
+    JSON line on the XLA paths (a kernel-lowering surprise must degrade
+    the number, not zero it)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    rng = np.random.default_rng(0)
+
+    def mk(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.bfloat16)
+
+    try:
+        from moditalker_tpu.ops.pallas.packed_attention import _packed_fused
+        np.asarray(_packed_fused(mk(1, 1024, 384), 8, 0.25, 256))
+    except Exception as e:  # pragma: no cover - device-dependent
+        os.environ["MODITALKER_NO_PACKED_ATTN"] = "1"
+        log(f"preflight: packed kernel disabled ({type(e).__name__}: {e})")
+    try:
+        from moditalker_tpu.ops.pallas import flash_attention as fa
+        q = mk(2, 1024, 64)
+        np.asarray(fa.onepass_attention(q, q, q, 0.125))
+        qt = mk(4096, 16, 64)
+        np.asarray(fa.tiny_attention(qt, qt, qt, 0.125))
+    except Exception as e:  # pragma: no cover
+        os.environ["MODITALKER_NO_FLASH_ATTN"] = "1"
+        log(f"preflight: flash kernels disabled ({type(e).__name__}: {e})")
+    try:
+        from moditalker_tpu.ops.pallas import divided_attention as da
+        sin = np.zeros((256, 64), np.float32)
+        cos = np.ones((256, 64), np.float32)
+        np.asarray(da.divided_attention(mk(1, 8, 256, 3 * 128), sin, cos,
+                                        "space", 2, 64, 0.125))
+        sin_t = np.zeros((8, 64), np.float32)
+        cos_t = np.ones((8, 64), np.float32)
+        np.asarray(da.divided_attention(mk(1, 8, 256, 3 * 128), sin_t, cos_t,
+                                        "time", 2, 64, 0.125))
+    except Exception as e:  # pragma: no cover
+        os.environ["MODITALKER_NO_DIVIDED_FUSED"] = "1"
+        log(f"preflight: divided kernels disabled ({type(e).__name__}: {e})")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    preflight_kernels()
 
     from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,
                                        MtovUNetConfig)
