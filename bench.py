@@ -91,8 +91,13 @@ def preflight_kernels():
         return jnp.asarray(rng.normal(size=s), jnp.bfloat16)
 
     try:
-        from moditalker_tpu.ops.pallas.packed_attention import _packed_fused
-        np.asarray(_packed_fused(mk(1, 1024, 384), 8, 0.25, 256))
+        from moditalker_tpu.ops.pallas.packed_attention import (_block_q,
+                                                                _packed_fused)
+        # The exact (L, block_q) pairs the dispatch will choose at model
+        # shapes — round 3's VMEM OOM came from pre-flighting block_q=256
+        # while the model lowered block_q=512.
+        for l in (2048, 1024, 512):
+            np.asarray(_packed_fused(mk(1, l, 384), 8, 0.25, _block_q(l, 128)))
     except Exception as e:  # pragma: no cover - device-dependent
         os.environ["MODITALKER_NO_PACKED_ATTN"] = "1"
         log(f"preflight: packed kernel disabled ({type(e).__name__}: {e})")

@@ -123,9 +123,13 @@ def _packed_fused(qkv, heads: int, scale: float, block_q: int,
 
 # --------------------------------------------------------------- dispatch
 def _block_q(l: int, c: int) -> int:
-    # fp32 [BLK, L] score tile ≤ ~4 MB
+    # fp32 [BLK, L] score tile ≤ ~1 MB. The kernel keeps ~2 such tiles
+    # (scores + exp) plus k/v/out live in scoped VMEM; a 4 MB budget put the
+    # L=1024 joint-attention stack at 17.16 M against the chip's 16 M scoped
+    # limit (measured v5e compile OOM, round 3) — 1 MB leaves headroom for
+    # the double-buffered input blocks at every viable L.
     for blk in (512, 256, 128, 64, 32, 16, 8):
-        if l % blk == 0 and blk * l * 4 <= 4 * 1024 * 1024:
+        if l % blk == 0 and blk * l * 4 <= 1024 * 1024:
             return blk
     return 0
 
