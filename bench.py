@@ -125,10 +125,27 @@ def preflight_kernels():
         log(f"preflight: divided kernels disabled ({type(e).__name__}: {e})")
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache (same location as the CLI's): the
+    bench's ~20 min TPU warmup is paid once per code change, not once per
+    invocation. JAX_COMPILATION_CACHE_DIR overrides."""
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "moditalker_tpu", "jax")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    enable_compile_cache()
     preflight_kernels()
 
     from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,

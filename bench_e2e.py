@@ -44,6 +44,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import enable_compile_cache
+    enable_compile_cache()
+
     from moditalker_tpu.config import (AtomDiffusionConfig, AtomModelConfig,
                                        MtovAEConfig, MtovDiffusionConfig,
                                        MtovUNetConfig)
