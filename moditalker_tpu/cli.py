@@ -317,6 +317,24 @@ def cmd_process_audio(args):
     print(f"saved {args.out} {feats.shape}")
 
 
+def _inference_mesh(args):
+    """Data-parallel inference mesh: all visible devices by default
+    (VERDICT r3 #1 — the v5e-8 north star needs every sampling path SPMD),
+    --data-parallel N to pin, 1 to disable. None on a single device."""
+    import jax
+
+    from .core.sharding import make_mesh
+
+    n = args.data_parallel
+    if n is None:
+        # default: every chip on a real TPU backend; on CPU (forced
+        # host-platform device counts are a test construct) stay single-
+        # device unless explicitly asked — 8x redundant compute on one vCPU
+        # helps nobody
+        n = len(jax.devices()) if jax.default_backend() == "tpu" else 1
+    return make_mesh(n) if n > 1 else None
+
+
 def cmd_atom_infer(args):
     import jax
 
@@ -348,7 +366,7 @@ def cmd_atom_infer(args):
     face3d = (Face3DHelper.from_bfm(args.bfm_dir) if args.bfm_dir
               else Face3DHelper.synthetic())
     pipe = AtomInferencePipeline(params, mc, cfg.atom_diffusion,
-                                 face3d=face3d)
+                                 face3d=face3d, mesh=_inference_mesh(args))
     identities = {}
     for name in sorted(os.listdir(args.keypoint_dir)):
         kp = np.load(os.path.join(args.keypoint_dir, name, "00000.npy"))
@@ -403,7 +421,8 @@ def cmd_sample(args):
 
     pipe = MtovSamplePipeline(
         _load(args.ae_rgb, init_ae), _load(args.ae_ldmk, init_ae),
-        _load(args.diffusion_model, init_unet), ae_cfg, unet_cfg, diff_cfg)
+        _load(args.diffusion_model, init_unet), ae_cfg, unet_cfg, diff_cfg,
+        mesh=_inference_mesh(args))
     if args.cross_id:
         if not (args.audio_id and args.ref_id):
             sys.exit("--cross-id needs --audio-id and --ref-id; then "
@@ -543,18 +562,10 @@ def _save_state(state, out_dir, name):
 def _enable_compile_cache():
     """Persistent XLA compile cache for every CLI command: repeat
     invocations (serving restarts, per-clip preprocessing runs) skip
-    compilation entirely. JAX_COMPILATION_CACHE_DIR overrides the default
-    ~/.cache/moditalker_tpu/jax."""
-    import jax
+    compilation entirely. See ``moditalker_tpu.compile_cache``."""
+    from .compile_cache import enable_compile_cache
 
-    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "moditalker_tpu", "jax")
-    try:
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # cache is an optimization, never a hard dependency
-        pass
+    enable_compile_cache()
 
 
 def main(argv=None):
@@ -619,6 +630,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=None,
                    help="identities per device dispatch (default: all)")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the identity batch over N devices "
+                        "(default: all visible devices; 1 disables)")
     p.set_defaults(fn=cmd_atom_infer)
 
     p = sub.add_parser("sample")
@@ -651,6 +665,9 @@ def main(argv=None):
                    help="DDIM steps (default: config value, ref 100)")
     p.add_argument("--noised-start-ratio", type=float, default=None)
     p.add_argument("--no-last-as-reference", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the window batch over N devices "
+                        "(default: all visible devices; 1 disables)")
     p.add_argument("--out-dir", default="runs/sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_sample)

@@ -9,7 +9,10 @@ downstream motion-alignment stage consumes it unchanged.
 
 TPU notes: ``run_directory`` stacks identities along the leading axis and
 samples each chunk in ONE doubled-batch CFG DDIM dispatch — the reference
-samples one identity at a time on one GPU (inference.py:108).
+samples one identity at a time on one GPU (inference.py:108). When a
+``mesh`` is passed, the identity batch is ``device_put`` with
+``NamedSharding(mesh, P("data"))`` (padded to a mesh-size multiple), so the
+DDIM program runs SPMD across every chip.
 """
 
 from __future__ import annotations
@@ -19,8 +22,10 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import AtomDiffusionConfig, AtomModelConfig
+from ..core.sharding import DATA_AXIS
 from ..models.atom.diffusion import AtomDiffusion
 from ..preprocess.bfm import Face3DHelper
 
@@ -50,8 +55,15 @@ class AtomInferencePipeline:
         diff_cfg: AtomDiffusionConfig = AtomDiffusionConfig(),
         face3d: Face3DHelper | None = None,
         dtype=jnp.float32,
+        mesh: Mesh | None = None,
     ):
         self.diff = AtomDiffusion.create(model_cfg, diff_cfg, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            self._batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._repl_sh = NamedSharding(mesh, P())
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._repl_sh), params)
         self.params = params
         self.model_cfg = model_cfg
         self.face3d = face3d
@@ -63,9 +75,24 @@ class AtomInferencePipeline:
         self._sample = jax.jit(_sample)
 
     def generate_residual(self, key, face: np.ndarray, cond: np.ndarray):
-        """[B,horizon,204] landmark residuals."""
-        return self._sample(self.params, key,
-                            jnp.asarray(face), jnp.asarray(cond))
+        """[B,horizon,204] landmark residuals. With a mesh, the identity
+        batch is padded by repetition to a mesh-size multiple, sharded over
+        the data axis, and lazily trimmed back."""
+        if self.mesh is None:
+            return self._sample(self.params, key,
+                                jnp.asarray(face), jnp.asarray(cond))
+        n_real = face.shape[0]
+        pad = (-n_real) % self.mesh.size
+
+        def put(v):
+            v = np.asarray(v)
+            if pad:
+                v = np.concatenate([v, v[-1:].repeat(pad, axis=0)])
+            return jax.device_put(v, self._batch_sh)
+
+        out = self._sample(self.params, jax.device_put(key, self._repl_sh),
+                           put(face), put(cond))
+        return out[:n_real] if pad else out
 
     def generate_landmarks(self, key, keypoint_npy, hubert_npy):
         """Full single-identity path → [horizon,68,3] absolute landmarks."""
@@ -97,6 +124,8 @@ class AtomInferencePipeline:
         if not names:
             return {}
         batch = len(names) if batch is None else max(1, batch)
+        if self.mesh is not None:  # chunk shape must divide over the mesh
+            batch = -(-batch // self.mesh.size) * self.mesh.size
         paths: dict[str, str] = {}
         key = jax.random.PRNGKey(seed)
         for lo in range(0, len(names), batch):

@@ -8,9 +8,11 @@ frame back as the next window's reference (``use_last_as_reference``,
 sample.py:342-362). Frames are muxed with the driving audio via ffmpeg.
 
 TPU design: the per-window step (3 extracts + scan'd DDIM + decode) is ONE
-jitted program; multiple identities/windows batch along the leading axis and
-shard across the data mesh — the reference samples one window at a time on
-one GPU (sample.py:305).
+jitted program; multiple identities/windows batch along the leading axis and,
+when a ``mesh`` is passed, are ``device_put`` with ``NamedSharding(mesh,
+P("data"))`` so the window program runs SPMD across every chip (batches are
+padded by repetition to a mesh-size multiple and trimmed) — the reference
+samples one window at a time on one GPU (sample.py:305).
 """
 
 from __future__ import annotations
@@ -21,8 +23,10 @@ import subprocess
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MtovAEConfig, MtovDiffusionConfig, MtovUNetConfig
+from ..core.sharding import DATA_AXIS
 from ..models.mtov import MtovDDPM, ViTAutoencoder
 
 
@@ -43,8 +47,20 @@ class MtovSamplePipeline:
         diff_cfg: MtovDiffusionConfig = MtovDiffusionConfig(
             sampling_timesteps=100, w=0.0),
         dtype=jnp.bfloat16,
+        mesh: Mesh | None = None,
     ):
         self.ae_cfg = ae_cfg
+        # data-parallel inference: batch sharded over the mesh, params
+        # replicated — one SPMD window program instead of 7 idle chips
+        self.mesh = mesh
+        if mesh is not None:
+            self._batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._repl_sh = NamedSharding(mesh, P())
+            rep = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._repl_sh), t)
+            ae_rgb_params = rep(ae_rgb_params)
+            ae_ldmk_params = rep(ae_ldmk_params)
+            unet_params = rep(unet_params)
         self.ae = ViTAutoencoder(ae_cfg, dtype=dtype)
         self.ddpm = MtovDDPM.create(unet_cfg, diff_cfg, dtype=dtype)
         self.ae_rgb_params = ae_rgb_params
@@ -94,18 +110,54 @@ class MtovSamplePipeline:
         self._window_noised = jax.jit(window_step_noised)
 
     # ------------------------------------------------------------ API
+    def _stage(self, *videos):
+        """Host/device arrays → device arrays for the window program. With a
+        mesh: pad B by repetition to a mesh-size multiple (one compiled
+        shape per distinct padded B) and shard the batch axis over the data
+        axis. Returns (staged videos, n_real)."""
+        n_real = None
+        for v in videos:
+            if v is not None:
+                n_real = int(v.shape[0])
+                break
+        if self.mesh is None:
+            return videos, n_real
+        m = self.mesh.size
+        pad = (-n_real) % m
+
+        def put(v):
+            if v is None:
+                return None
+            v = np.asarray(v)
+            if pad:
+                v = np.concatenate([v, v[-1:].repeat(pad, axis=0)])
+            return jax.device_put(v, self._batch_sh)
+
+        return tuple(put(v) for v in videos), n_real
+
     def sample_window(self, ldmk_video, masked_video, ref_video, key,
                       gt_video=None, noised_start_ratio: float | None = None):
-        """All videos [B, 16, H, W, 3] in [-1, 1] → generated video."""
+        """All videos [B, 16, H, W, 3] in [-1, 1] → generated video.
+
+        With a mesh, the batch is sharded over the data axis (padded to a
+        mesh multiple; the returned array is lazily trimmed back to B)."""
+        (ldmk_video, masked_video, ref_video, gt_video), n_real = self._stage(
+            ldmk_video, masked_video, ref_video, gt_video)
+        if self.mesh is not None:
+            key = jax.device_put(key, self._repl_sh)
         if noised_start_ratio is not None:
             assert gt_video is not None
-            return self._window_noised(
+            out = self._window_noised(
                 self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
                 gt_video, ldmk_video, masked_video, ref_video, key,
                 jnp.asarray(noised_start_ratio, jnp.float32))
-        return self._window(
-            self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
-            ldmk_video, masked_video, ref_video, key)
+        else:
+            out = self._window(
+                self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
+                ldmk_video, masked_video, ref_video, key)
+        if out.shape[0] != n_real:
+            out = out[:n_real]
+        return out
 
     def sample_independent(self, windows, key, batch: int = 8,
                            noised_start_ratio: float | None = None
@@ -115,10 +167,13 @@ class MtovSamplePipeline:
         padded by repetition and trimmed). Valid when each window's
         reference frame is its own (no last-as-reference AR dependency);
         this is where per-chip throughput is won over the reference's
-        one-window-at-a-time loop (sample.py:305). Returns [1, n*T, H, W, 3]
+        one-window-at-a-time loop (sample.py:305); with a mesh the chunk is
+        additionally sharded over the data axis. Returns [1, n*T, H, W, 3]
         uint8."""
         import itertools
 
+        if self.mesh is not None:  # chunk shape must divide over the mesh
+            batch = -(-batch // self.mesh.size) * self.mesh.size
         it = iter(windows)
         outs = []
         pending = None  # (device array still computing, n_real)
