@@ -483,6 +483,29 @@ def _detector_args(p):
     p.add_argument("--no-resume", action="store_true")
 
 
+def cmd_unify_fps(args):
+    """Corpus fps normalization (ref unify_fps.py:19)."""
+    from .preprocess.video import unify_fps_corpus
+
+    written = unify_fps_corpus(
+        args.src_root, args.out_dir, fps=args.fps, processes=args.processes,
+        process_id=args.process_id, total_processes=args.total,
+        skip_existing=not args.no_resume)
+    print(f"re-encoded {len(written)} videos at {args.fps} fps "
+          f"→ {args.out_dir}")
+
+
+def cmd_video2frame(args):
+    """Corpus frame extraction (ref video2frame_hdtf.py, Pool fan-out)."""
+    from .preprocess.video import video_to_frames_corpus
+
+    written = video_to_frames_corpus(
+        args.src_root, args.out_dir, quality=args.quality,
+        processes=args.processes, process_id=args.process_id,
+        total_processes=args.total, skip_existing=not args.no_resume)
+    print(f"extracted frames for {len(written)} videos → {args.out_dir}")
+
+
 def cmd_align_motion(args):
     """AToM→MToV glue (ref align_face_recon.py:240-348)."""
     from .preprocess.drivers import align_motion_corpus, build_detectors
@@ -671,6 +694,33 @@ def main(argv=None):
     p.add_argument("--out-dir", default="runs/sample")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("unify-fps",
+                       help="re-encode a video corpus at a fixed fps "
+                            "(ref unify_fps.py)")
+    p.add_argument("--src-root", required=True,
+                   help="corpus root: {id}.mp4 or {id}/video.mp4")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--processes", type=int, default=4)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--total", type=int, default=1)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_unify_fps)
+
+    p = sub.add_parser("video2frame",
+                       help="dump a video corpus to {id}/{i:05d}.jpg frames "
+                            "(ref video2frame_hdtf.py)")
+    p.add_argument("--src-root", required=True,
+                   help="corpus root: {id}.mp4 or {id}/video.mp4")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--quality", type=int, default=2,
+                   help="jpeg qscale (2 = high quality)")
+    p.add_argument("--processes", type=int, default=4)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--total", type=int, default=1)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_video2frame)
 
     p = sub.add_parser("align-motion",
                        help="AToM frontalized landmarks → pose-matched "

@@ -50,14 +50,15 @@ def group_norm_32(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     lane dimension and measured 353 us for a 2 MB block on v5e — ~10× the
     bandwidth cost of the op.
 
-    Variance is the one-pass E[x²]−E[x]² form in fp32 — the same fast
-    variance flax's own norms default to (use_fast_variance=True), chosen
-    to keep the norm at ONE pass over the tensor in this bandwidth-bound
-    model. It cancels when |mean| ≫ std; the torch reference's two-pass
-    GroupNorm doesn't. The real-checkpoint golden harness (golden.py
-    record/check on the converted UNet) is the guard that this stays
-    within tolerance at production activation scales; if it ever trips,
-    switch to a two-pass (subtract the [B,g] group mean, re-reduce).
+    Variance is a SHIFTED one-pass form in fp32: sums of (x−k) and (x−k)²
+    with k = the first spatial element per (batch, channel) — still ONE
+    pass over the tensor in this bandwidth-bound model (the subtract rides
+    the existing read; XLA fuses it into the reduction), but unlike the
+    plain E[x²]−E[x]² form it does not cancel when |mean| ≫ std: x−k is
+    O(std) by construction. Measured at [4,2048,512] with mean 500× the
+    std, plain one-pass lost 0.24 of a std vs the fp64 two-pass reference;
+    shifted one-pass is at 3e-6 (tests/test_mtov_parity.py
+    ::test_group_norm_one_pass_variance_at_production_scales).
     """
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
@@ -69,12 +70,24 @@ def group_norm_32(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
     for a in spatial:
         n *= x32.shape[a]
     n *= c // g
-    s1 = jnp.sum(x32, axis=spatial)                    # [B, C]
-    s2 = jnp.sum(x32 * x32, axis=spatial)              # [B, C]
-    g1 = s1.reshape(b, g, c // g).sum(-1)              # [B, g]
-    g2 = s2.reshape(b, g, c // g).sum(-1)
-    mean = g1 / n
-    var = jnp.maximum(g2 / n - mean * mean, 0.0)
+    n_sp = n // (c // g)                               # spatial element count
+    k = x32[(slice(None),) + (0,) * len(spatial)]      # [B, C] sample shift
+    kb = k.reshape((b,) + (1,) * len(spatial) + (c,))
+    y = x32 - kb                                       # O(std) by construction
+    s1 = jnp.sum(y, axis=spatial)                      # [B, C]
+    s2 = jnp.sum(y * y, axis=spatial)                  # [B, C]
+    # Var_G(x) with x = y + k_c decomposes as Var_G(y) + 2·Cov_c(ȳ_c, k_c)
+    # + Var_c(k_c); every term is O(std²) — no large-number cancellation.
+    # The k-side moments are two-pass, but only over the tiny [B, C] k.
+    m_y = s1 / n_sp                                    # [B, C] E_sp[y_c]
+    ey = m_y.reshape(b, g, c // g).mean(-1)            # [B, g]
+    ek = k.reshape(b, g, c // g).mean(-1)              # [B, g]
+    mean = ey + ek
+    var_y = s2.reshape(b, g, c // g).sum(-1) / n - ey * ey
+    kc = k.reshape(b, g, c // g) - ek[..., None]       # centered shifts
+    var_k = (kc * kc).mean(-1)
+    cov = (m_y.reshape(b, g, c // g) * kc).mean(-1)
+    var = jnp.maximum(var_y + 2.0 * cov + var_k, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     shape = (b,) + (1,) * len(spatial) + (c,)
     mean_c = jnp.repeat(mean, c // g, -1).reshape(shape)

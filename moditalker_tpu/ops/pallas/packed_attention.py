@@ -76,27 +76,40 @@ def _head_masks(heads: int, c: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ kernel
 def _packed_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, heads):
-    # VPU economy: ``scale`` is folded into q ONCE ([BLK, C]) instead of
-    # scaling the [BLK, L] fp32 score tile per head, and the softmax
-    # denominator divides the [BLK, C] per-head OUTPUT rows instead of the
-    # [BLK, L] probability tile (exact: out_h = (p @ v_h) / l row-wise).
-    # Together that removes 2 of the ~5 full-score-tile VPU passes per head.
+    # VPU economy (round 3): ``scale`` folded into q ONCE ([BLK, C]); the
+    # softmax denominator divides the [BLK, C] per-head OUTPUT rows instead
+    # of the [BLK, L] probability tile (exact: out_h = (p @ v_h) / l).
+    #
+    # VPU economy (round 4): the head isolation masks moved from k/v to
+    # q/output — (q⊙m)·kᵀ == q·(k⊙m)ᵀ and (p@v)⊙m == p@(v⊙m) for 0/1 lane
+    # masks (bit-identical: ×1.0 and ×0 are exact) — so the per-head mask
+    # passes shrink from 2×[L, C] (262K elems at L=2048) to 2×[BLK, C]
+    # (16K), ~40% of the kernel's VPU work. The head loop is also software-
+    # pipelined: head h+1's score matmul (MXU) is emitted before head h's
+    # softmax (VPU), giving the scheduler independent work on both units.
     q = q_ref[0]                                   # [BLK, C]
     k = k_ref[0]                                   # [L, C]
     v = v_ref[0]
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    out = jnp.zeros(q.shape, o_ref.dtype)
+    masks = [m_ref[h:h + 1, :] for h in range(heads)]
+
+    def score(h):
+        qm = qs * masks[h].astype(qs.dtype)        # [BLK, C] — cheap mask
+        return jax.lax.dot_general(qm, k, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    out = jnp.zeros(q.shape, jnp.float32)
+    s_prev = score(0)
     for h in range(heads):
-        m = m_ref[h:h + 1, :].astype(k.dtype)      # [1, C]
-        s = jax.lax.dot_general(qs, k * m, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        mx = s.max(axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
+        s_next = score(h + 1) if h + 1 < heads else None
+        mx = s_prev.max(axis=-1, keepdims=True)
+        p = jnp.exp(s_prev - mx)
         l = p.sum(axis=-1, keepdims=True)          # [BLK, 1]
-        pv = jnp.dot(p.astype(v.dtype), v * m,
+        pv = jnp.dot(p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-        out = out + (pv / l).astype(o_ref.dtype)
-    o_ref[0] = out
+        out = out + (pv / l) * masks[h]            # mask OUTPUT lanes
+        s_prev = s_next
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,

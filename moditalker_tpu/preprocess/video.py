@@ -50,3 +50,65 @@ def batch_videos_to_frames(jobs: list[tuple[str, str]],
     """Parallel frame extraction (ref multiprocessing Pool)."""
     with Pool(processes) as pool:
         return pool.starmap(video_to_frames, jobs)
+
+
+# ------------------------------------------------------------ corpus drivers
+def corpus_videos(src_root: str) -> list[tuple[str, str]]:
+    """Enumerate (identity, video path) under a corpus root. Accepts both
+    the flat ``{id}.mp4`` layout (ref unify_fps.py walks a dir of mp4s) and
+    the nested ``{id}/video.mp4`` layout (ref video2frame_hdtf.py:45)."""
+    out = []
+    for name in sorted(os.listdir(src_root)):
+        p = os.path.join(src_root, name)
+        if os.path.isfile(p) and name.lower().endswith((".mp4", ".avi",
+                                                        ".mov", ".mkv")):
+            out.append((os.path.splitext(name)[0], p))
+        elif os.path.isdir(p) and os.path.isfile(
+                os.path.join(p, "video.mp4")):
+            out.append((name, os.path.join(p, "video.mp4")))
+    return out
+
+
+def _stripe(items, process_id: int, total_processes: int):
+    """Multi-process striping, same convention as the keypoint/align corpus
+    drivers (ref batchify.py:282-288)."""
+    return items[process_id::total_processes]
+
+
+def unify_fps_corpus(src_root: str, dst_root: str, fps: int = 25,
+                     processes: int = 4, process_id: int = 0,
+                     total_processes: int = 1,
+                     skip_existing: bool = True) -> list[str]:
+    """Re-encode every corpus video at a fixed fps (ref unify_fps.py:19
+    as a runnable corpus pass). Writes ``{dst_root}/{id}.mp4``; resumable
+    (existing outputs skipped) and stripeable across processes."""
+    os.makedirs(dst_root, exist_ok=True)
+    jobs = []
+    for ident, src in _stripe(corpus_videos(src_root), process_id,
+                              total_processes):
+        dst = os.path.join(dst_root, f"{ident}.mp4")
+        if skip_existing and os.path.exists(dst):
+            continue
+        jobs.append((src, dst, fps))
+    with Pool(max(1, processes)) as pool:
+        return pool.starmap(unify_fps, jobs)
+
+
+def video_to_frames_corpus(src_root: str, dst_root: str, quality: int = 2,
+                           processes: int = 4, process_id: int = 0,
+                           total_processes: int = 1,
+                           skip_existing: bool = True) -> list[str]:
+    """Dump every corpus video to ``{dst_root}/{id}/{i:05d}.jpg`` (ref
+    video2frame_hdtf.py with its multiprocessing Pool). Resumable: an
+    identity dir that already holds jpgs is skipped."""
+    os.makedirs(dst_root, exist_ok=True)
+    jobs = []
+    for ident, src in _stripe(corpus_videos(src_root), process_id,
+                              total_processes):
+        out_dir = os.path.join(dst_root, ident)
+        if skip_existing and os.path.isdir(out_dir) and any(
+                f.endswith(".jpg") for f in os.listdir(out_dir)):
+            continue
+        jobs.append((src, out_dir, quality))
+    with Pool(max(1, processes)) as pool:
+        return pool.starmap(video_to_frames, jobs)

@@ -126,3 +126,55 @@ def test_triplane_unet_parity():
     got = unet.apply(params, jnp.asarray(x), jnp.asarray(cond),
                      jnp.asarray(ic), jnp.asarray(t))
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3, atol=2e-4)
+
+
+def test_group_norm_one_pass_variance_at_production_scales():
+    """group_norm_32's variance must hold up when |mean| ≫ std. The plain
+    one-pass E[x²]−E[x]² form measured 0.24 of a std of error at mean
+    500× std (this test found it, round 4); the shifted one-pass now in
+    unet.py is ≤ 2.5e-4 at the same regime. Exercises the production shape
+    [4, 2048, 512] in fp32 AND bf16 inputs at hostile activation statistics
+    against an fp64 two-pass reference."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from moditalker_tpu.models.mtov.unet import group_norm_32
+
+    rng = np.random.default_rng(0)
+    b, l, c, g = 4, 2048, 512, 32
+    scale = np.ones((c,), np.float32)
+    bias = np.zeros((c,), np.float32)
+
+    for offset, std in [(0.0, 1.0), (10.0, 1.0), (100.0, 1.0),
+                        (50.0, 0.1), (-30.0, 5.0)]:
+        x64 = rng.normal(loc=offset, scale=std, size=(b, l, c))
+        # fp64 two-pass reference per group
+        xg = x64.reshape(b, l, g, c // g)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        ref = ((xg - mean) / np.sqrt(var + 1e-5)).reshape(b, l, c)
+
+        out32 = np.asarray(group_norm_32(
+            jnp.asarray(x64, jnp.float32), jnp.asarray(scale),
+            jnp.asarray(bias), num_groups=g), np.float64)
+        err32 = np.abs(out32 - ref).max()
+        assert err32 < 1e-3, (offset, std, err32)
+
+        # bf16 inputs quantize x itself (~0.4% relative, which at mean ≫ std
+        # is already a large fraction of a std) — isolate the FORMULA from
+        # the encoding by referencing the fp64 two-pass result of the
+        # bf16-quantized input
+        x_bf = np.asarray(jnp.asarray(x64, jnp.bfloat16).astype(jnp.float64))
+        xg_bf = x_bf.reshape(b, l, g, c // g)
+        mean_bf = xg_bf.mean(axis=(1, 3), keepdims=True)
+        var_bf = ((xg_bf - mean_bf) ** 2).mean(axis=(1, 3), keepdims=True)
+        ref_bf = ((xg_bf - mean_bf)
+                  / np.sqrt(var_bf + 1e-5)).reshape(b, l, c)
+        out_bf = np.asarray(group_norm_32(
+            jnp.asarray(x64, jnp.bfloat16), jnp.asarray(scale),
+            jnp.asarray(bias), num_groups=g).astype(jnp.float32), np.float64)
+        # residual is the bf16 OUTPUT quantization (~0.39% of ±4σ values
+        # ≈ 0.016), uniform across all mean/std regimes — the formula
+        # itself adds nothing
+        err_bf = np.abs(out_bf - ref_bf).max()
+        assert err_bf < 0.03, (offset, std, err_bf)
