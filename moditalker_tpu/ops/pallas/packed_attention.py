@@ -87,28 +87,32 @@ def _packed_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, heads):
     # (16K), ~40% of the kernel's VPU work. The head loop is also software-
     # pipelined: head h+1's score matmul (MXU) is emitted before head h's
     # softmax (VPU), giving the scheduler independent work on both units.
+    # VPU economy (round 4, v3): on-chip attribution (tools/ab_packed.py
+    # diag) showed the per-head matmuls ALONE at 914 us of the 953 us
+    # kernel — softmax was already hidden behind the MXU; 16 small matmuls
+    # per grid step ran the MXU at 38%. v3 stacks the 8 masked q-blocks
+    # into ONE [H·BLK, C] query, so each grid step is exactly TWO
+    # monolithic matmuls (score [H·BLK, L], value [H·BLK, C]) — same raw
+    # FLOPs, far better MXU pipelining — and one head-fold at the end.
     q = q_ref[0]                                   # [BLK, C]
     k = k_ref[0]                                   # [L, C]
     v = v_ref[0]
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    masks = [m_ref[h:h + 1, :] for h in range(heads)]
-
-    def score(h):
-        qm = qs * masks[h].astype(qs.dtype)        # [BLK, C] — cheap mask
-        return jax.lax.dot_general(qm, k, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
+    masks = m_ref[...].astype(qs.dtype)            # [H, C]
+    qm = jnp.concatenate(
+        [qs * masks[h:h + 1] for h in range(heads)], axis=0)  # [H·BLK, C]
+    s = jax.lax.dot_general(qm, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    mx = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    l = p.sum(axis=-1, keepdims=True)              # [H·BLK, 1]
+    pv = jnp.dot(p.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)
+    pv = pv / l                                    # [H·BLK, C]
+    blk = q.shape[0]
     out = jnp.zeros(q.shape, jnp.float32)
-    s_prev = score(0)
-    for h in range(heads):
-        s_next = score(h + 1) if h + 1 < heads else None
-        mx = s_prev.max(axis=-1, keepdims=True)
-        p = jnp.exp(s_prev - mx)
-        l = p.sum(axis=-1, keepdims=True)          # [BLK, 1]
-        pv = jnp.dot(p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-        out = out + (pv / l) * masks[h]            # mask OUTPUT lanes
-        s_prev = s_next
+    for h in range(heads):                         # disjoint-lane head fold
+        out = out + pv[h * blk:(h + 1) * blk] * masks[h:h + 1]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -136,13 +140,13 @@ def _packed_fused(qkv, heads: int, scale: float, block_q: int,
 
 # --------------------------------------------------------------- dispatch
 def _block_q(l: int, c: int) -> int:
-    # fp32 [BLK, L] score tile ≤ ~1 MB. The kernel keeps ~2 such tiles
-    # (scores + exp) plus k/v/out live in scoped VMEM; a 4 MB budget put the
-    # L=1024 joint-attention stack at 17.16 M against the chip's 16 M scoped
-    # limit (measured v5e compile OOM, round 3) — 1 MB leaves headroom for
-    # the double-buffered input blocks at every viable L.
+    # v3 stacks all H heads' masked queries, so the live fp32 score tile is
+    # [H·BLK, L]: budget H·BLK·L·4 ≤ 4 MB (plus the bf16 exp tile ~2 MB and
+    # k/v ~1 MB keeps the scoped-VMEM stack well under the chip's 16 MB —
+    # round 3's compile OOM came from overshooting that limit).
+    heads = max(c // 16, 1)            # dh=16 at every viable shape (gate)
     for blk in (512, 256, 128, 64, 32, 16, 8):
-        if l % blk == 0 and blk * l * 4 <= 1024 * 1024:
+        if l % blk == 0 and heads * blk * l * 4 <= 4 * 1024 * 1024:
             return blk
     return 0
 
