@@ -1,6 +1,8 @@
 """Controlled same-process A/B: packed-attention kernel v1 (k/v masks) vs
-v2 (q/output masks + pipelined head loop). Interleaved reps so relay drift
-affects both arms equally."""
+the CURRENT shipped kernel (v3: stacked monolithic matmuls — see
+packed_attention.py). Interleaved reps so relay drift affects both arms
+equally. `diag` mode carries the v2-era per-head-loop attribution bodies;
+tools/roofline.py has the v3 attribution."""
 
 from __future__ import annotations
 

@@ -34,4 +34,16 @@ run kernels_minl256 env MODITALKER_PACKED_MIN_L=256 \
 # 6. user-facing CLI throughput vs bench.py (VERDICT r2 weak #5)
 run cli_sample python tools/bench_cli_sample.py --batch 4
 
+# 7. device roofline + packed-kernel attribution (round 4)
+run roofline python tools/roofline.py
+
+# 8. golden record/check round-trip at REAL model configs (VERDICT r3 #9):
+#    synthetic weights, full-size AToM horizon + MToV window; proves the
+#    harness and the GroupNorm one-pass-variance guard at production
+#    activation scales, and that record→check is bit-deterministic on chip.
+run golden_full_record python -m moditalker_tpu.cli golden --mode record \
+    --golden "$OUT/goldens_full.npz"
+run golden_full_check python -m moditalker_tpu.cli golden --mode check \
+    --golden "$OUT/goldens_full.npz"
+
 echo "all outputs in $OUT"
