@@ -62,8 +62,7 @@ def main():
     from moditalker_tpu.config import (AtomDiffusionConfig, AtomModelConfig,
                                        MtovAEConfig, MtovDiffusionConfig,
                                        MtovUNetConfig)
-    from moditalker_tpu.data.mtov_dataset import (rasterize_landmarks,
-                                                  to_model_range)
+    from moditalker_tpu.data.mtov_dataset import rasterize_landmarks
     from moditalker_tpu.models.atom import MotionDecoder
     from moditalker_tpu.models.mtov import MtovDDPM, ViTAutoencoder
     from moditalker_tpu.pipelines.atom_infer import AtomInferencePipeline
@@ -210,14 +209,14 @@ def main():
         for lo in range(0, HORIZON - ae_cfg.timesteps + 1, ae_cfg.timesteps):
             lm = aligned_i[lo : lo + ae_cfg.timesteps]
             ldmk = rasterize_landmarks(lm, size=res, src_wh=256)
-            vid = driving[lo : lo + ae_cfg.timesteps].astype(np.float32)
+            vid = driving[lo : lo + ae_cfg.timesteps]
+            # uint8 windows: model-range conversion happens ON DEVICE inside
+            # the window program (round-4 change — 4x less host-link upload)
             yield {
-                "x_l": to_model_range(ldmk.astype(np.float32))[None],
-                "x": to_model_range(vid)[None],
-                "masked_x": to_model_range(vid)[None],
-                "x_ref": to_model_range(
-                    np.stack([driving[0].astype(np.float32)] *
-                             ae_cfg.timesteps))[None],
+                "x_l": ldmk[None],
+                "x": vid[None],
+                "masked_x": vid[None],
+                "x_ref": np.stack([driving[0]] * ae_cfg.timesteps)[None],
             }
 
     n_windows = HORIZON // ae_cfg.timesteps

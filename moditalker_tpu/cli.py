@@ -448,11 +448,11 @@ def cmd_sample(args):
                      "--no-last-as-reference (the AR reference chain "
                      "serializes windows)")
         frames = pipe.sample_independent(
-            ds.windows(), key, batch=args.batch,
+            ds.windows(uint8=True), key, batch=args.batch,
             noised_start_ratio=args.noised_start_ratio)
     else:
         frames = pipe.sample_long(
-            ds.windows(), key,
+            ds.windows(uint8=True), key,
             use_last_as_reference=not args.no_last_as_reference,
             noised_start_ratio=args.noised_start_ratio)
     dt = _time.perf_counter() - t0

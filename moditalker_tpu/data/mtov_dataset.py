@@ -354,10 +354,22 @@ class SequentialWindowDataset:
             "masked_x": resize_crop(masked, res),
         }
 
-    def windows(self, batch: int = 1):
-        """Yield model-range batched windows for the AR sampling pipeline."""
+    def windows(self, batch: int = 1, uint8: bool = False):
+        """Yield batched windows for the AR sampling pipeline.
+
+        ``uint8=True`` yields [0,255] uint8 frames (the pipeline converts
+        to model range ON DEVICE — 4x less host-link upload per window).
+        Quantizing the bilinear-resize fractions to uint8 matches the
+        reference, whose PIL resize operates on uint8 images
+        (data_utils.py:73-97); at the stored 256->256 op point the cast is
+        exact. Default yields model-range float (back-compat)."""
+        def conv(v):
+            if uint8:
+                return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+            return to_model_range(v)
+
         for i in range(len(self)):
             item = self[i]
-            yield {k: to_model_range(v[None].repeat(batch, axis=0))
-                   if batch > 1 else to_model_range(v[None])
+            yield {k: conv(v[None].repeat(batch, axis=0))
+                   if batch > 1 else conv(v[None])
                    for k, v in item.items()}

@@ -31,8 +31,14 @@ from ..models.mtov import MtovDDPM, ViTAutoencoder
 
 
 def to_uint8(video: jnp.ndarray) -> np.ndarray:
-    """[-1,1] float → uint8 (ref sample.py:385-386 clamp + scale)."""
-    v = np.clip(np.asarray(video), -1.0, 1.0)
+    """[-1,1] float → uint8 (ref sample.py:385-386 clamp + scale).
+
+    uint8 input (the window programs' device-side ``out_uint8`` epilogue
+    already did the clamp+scale) passes through as a host fetch."""
+    v = np.asarray(video)
+    if v.dtype == np.uint8:
+        return v
+    v = np.clip(v, -1.0, 1.0)
     return ((v + 1.0) * 127.5).astype(np.uint8)
 
 
@@ -68,8 +74,30 @@ class MtovSamplePipeline:
         self.unet_params = unet_params
         self.L = ae_cfg.latent_len
 
+        def _in(v):
+            # uint8 frames convert to model range ON DEVICE: a [B,16,H,W,3]
+            # fp32 window is 12.6 MB vs 3.1 MB uint8, and the host has
+            # uint8 anyway (PIL/cv2 decode) — measured round 4: the e2e AR
+            # loop moved ~50 MB/window over the host link, 1.6 s of its
+            # 2.1 s/window. jit specializes per dtype, so one python
+            # branch serves both input forms.
+            if v.dtype == jnp.uint8:
+                return v.astype(jnp.float32) / 127.5 - 1.0
+            return v
+
+        def _out(video, out_u8):
+            # clamp+scale on device when the caller wants frames: a uint8
+            # fetch is 4x smaller (ref sample.py:385-386 does this on host)
+            if not out_u8:
+                return video
+            v = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
+            return ((v + 1.0) * 127.5).astype(jnp.uint8)
+
         def window_step(ae_rgb, ae_ldmk, unet, ldmk_video, masked_video,
-                        ref_video, key):
+                        ref_video, key, out_u8=False):
+            ldmk_video = _in(ldmk_video)
+            masked_video = _in(masked_video)
+            ref_video = _in(ref_video)
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
             # masked + reference run as INDEPENDENT extracts (not one batched
             # call): XLA interleaves the independent chains, which hides the
@@ -84,11 +112,17 @@ class MtovSamplePipeline:
             latent = self.ddpm.ddim_sample(
                 unet, key, (ldmk_video.shape[0], unet_cfg.in_channels, self.L),
                 cond, image_cond)
-            return self.ae.apply(ae_rgb, latent,
-                                 method=self.ae.decode_from_sample)
+            return _out(self.ae.apply(ae_rgb, latent,
+                                      method=self.ae.decode_from_sample),
+                        out_u8)
 
         def window_step_noised(ae_rgb, ae_ldmk, unet, gt_video, ldmk_video,
-                               masked_video, ref_video, key, ratio):
+                               masked_video, ref_video, key, ratio,
+                               out_u8=False):
+            gt_video = _in(gt_video)
+            ldmk_video = _in(ldmk_video)
+            masked_video = _in(masked_video)
+            ref_video = _in(ref_video)
             z_l = self.ae.apply(ae_ldmk, ldmk_video, method=self.ae.extract)
             # independent extracts (see window_step)
             z = self.ae.apply(ae_rgb, gt_video, method=self.ae.extract)
@@ -99,15 +133,24 @@ class MtovSamplePipeline:
             cond = jnp.concatenate([z_l, masked_z], axis=1)
             latent = self.ddpm.ddim_sample_noised_start(
                 unet, key, z, cond, image_cond, ratio)
-            return self.ae.apply(ae_rgb, latent,
-                                 method=self.ae.decode_from_sample)
+            return _out(self.ae.apply(ae_rgb, latent,
+                                      method=self.ae.decode_from_sample),
+                        out_u8)
 
-        self._window = jax.jit(window_step)
+        self._window = jax.jit(window_step, static_argnames=("out_u8",))
         # ratio stays a TRACED scalar: one compiled program serves every
         # noised-start ratio (a static ratio would recompile the full
         # extract+scan+decode program per distinct value — round-1 verdict
         # weak #6)
-        self._window_noised = jax.jit(window_step_noised)
+        self._window_noised = jax.jit(window_step_noised,
+                                      static_argnames=("out_u8",))
+        # AR support: build the next window's reference ON DEVICE from the
+        # previous window's (device-resident) output — the round-3 code
+        # fetched the full float window and re-uploaded a 12.6 MB repeated
+        # reference every window
+        self._repeat_last = jax.jit(
+            lambda g, t: jnp.repeat(g[:, -1:], t, axis=1),
+            static_argnames=("t",))
 
     # ------------------------------------------------------------ API
     def _stage(self, *videos):
@@ -128,6 +171,11 @@ class MtovSamplePipeline:
         def put(v):
             if v is None:
                 return None
+            if isinstance(v, jax.Array) and not pad:
+                # already on device (e.g. the AR loop's device-resident
+                # reference) — resharding is metadata-only when it already
+                # matches; never round-trip through the host
+                return jax.device_put(v, self._batch_sh)
             v = np.asarray(v)
             if pad:
                 v = np.concatenate([v, v[-1:].repeat(pad, axis=0)])
@@ -136,8 +184,12 @@ class MtovSamplePipeline:
         return tuple(put(v) for v in videos), n_real
 
     def sample_window(self, ldmk_video, masked_video, ref_video, key,
-                      gt_video=None, noised_start_ratio: float | None = None):
-        """All videos [B, 16, H, W, 3] in [-1, 1] → generated video.
+                      gt_video=None, noised_start_ratio: float | None = None,
+                      out_uint8: bool = False):
+        """All videos [B, 16, H, W, 3], either uint8 frames or [-1, 1]
+        float (uint8 converts to model range on device — 4x less host-link
+        traffic) → generated video, float model-range by default or uint8
+        frames with ``out_uint8`` (clamp+scale on device, 4x less fetch).
 
         With a mesh, the batch is sharded over the data axis (padded to a
         mesh multiple; the returned array is lazily trimmed back to B)."""
@@ -150,11 +202,12 @@ class MtovSamplePipeline:
             out = self._window_noised(
                 self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
                 gt_video, ldmk_video, masked_video, ref_video, key,
-                jnp.asarray(noised_start_ratio, jnp.float32))
+                jnp.asarray(noised_start_ratio, jnp.float32),
+                out_u8=out_uint8)
         else:
             out = self._window(
                 self.ae_rgb_params, self.ae_ldmk_params, self.unet_params,
-                ldmk_video, masked_video, ref_video, key)
+                ldmk_video, masked_video, ref_video, key, out_u8=out_uint8)
         if out.shape[0] != n_real:
             out = out[:n_real]
         return out
@@ -180,7 +233,7 @@ class MtovSamplePipeline:
 
         def flush():
             g, n = pending
-            g = to_uint8(g)[:n]     # blocks on the fetch
+            g = np.asarray(g)[:n]   # blocks on the (device-uint8) fetch
             outs.append(g.reshape(1, -1, *g.shape[2:]))
 
         while True:
@@ -198,8 +251,9 @@ class MtovSamplePipeline:
             gen = self.sample_window(
                 stacked["x_l"], stacked["masked_x"],
                 jnp.asarray(stacked["x_ref"]), sub,
-                gt_video=stacked.get("x"),
-                noised_start_ratio=noised_start_ratio)
+                gt_video=(stacked.get("x")
+                          if noised_start_ratio is not None else None),
+                noised_start_ratio=noised_start_ratio, out_uint8=True)
             if pending is not None:
                 flush()
             pending = (gen, n_real)
@@ -217,27 +271,40 @@ class MtovSamplePipeline:
         concatenated uint8 video [B, n*16, H, W, 3].
         """
         out_frames = []
-        last_frame = None
+        last_gen = None       # previous window's output — stays ON DEVICE
+        pending = None        # device window not yet fetched to host
         it = iter(windows)
         w = next(it, None)
         while w is not None:
             key, sub = jax.random.split(key)
             ref = w["x_ref"]
-            if use_last_as_reference and last_frame is not None:
-                # repeat the previous window's final generated frame ×T
-                ref = np.repeat(last_frame[:, None], ref.shape[1], axis=1)
+            if use_last_as_reference and last_gen is not None:
+                # repeat the previous window's final generated frame ×T on
+                # device: the AR chain never round-trips the host (round 3
+                # fetched the 12.6 MB float window and re-uploaded a
+                # repeated reference — 25 MB of host-link traffic per
+                # window for a dependency the device already held)
+                ref = self._repeat_last(last_gen, int(ref.shape[1]))
             gen = self.sample_window(
-                w["x_l"], w["masked_x"], jnp.asarray(ref), sub,
-                gt_video=w.get("x"),
-                noised_start_ratio=noised_start_ratio)
-            # jax dispatch is async: pull (and host-prepare — JPEG decode,
-            # rasterization) the NEXT window while the device runs this
-            # one, then block on the fetch. The AR chain only needs the
-            # fetched last frame at the next dispatch.
+                w["x_l"], w["masked_x"],
+                ref if isinstance(ref, jax.Array) else jnp.asarray(ref),
+                sub,
+                # only the noised-start program consumes gt; the plain
+                # window would still pay its upload as an unused jit arg
+                gt_video=(w.get("x") if noised_start_ratio is not None
+                          else None),
+                noised_start_ratio=noised_start_ratio, out_uint8=True)
+            last_gen = gen
+            # jax dispatch is async: host-prepare the NEXT window (JPEG
+            # decode, rasterization) and fetch the PREVIOUS window's uint8
+            # frames while the device runs this one — the device pipeline
+            # never waits on the host inside the AR loop.
             w = next(it, None)
-            gen = np.asarray(gen)
-            last_frame = gen[:, -1]
-            out_frames.append(to_uint8(gen))
+            if pending is not None:
+                out_frames.append(np.asarray(pending))
+            pending = gen
+        if pending is not None:
+            out_frames.append(np.asarray(pending))
         return np.concatenate(out_frames, axis=1)
 
 

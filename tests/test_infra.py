@@ -127,3 +127,14 @@ def test_ar_sampling_pipeline_tiny():
     out2 = pipe.sample_long([window()], jax.random.PRNGKey(3),
                             noised_start_ratio=0.5)
     assert out2.shape == (1, 4, 32, 32, 3)
+
+    # uint8 device-I/O parity (round 4): uint8 windows convert to model
+    # range ON DEVICE — same math as host to_model_range, so the generated
+    # frames must be bit-identical to the float path
+    wf = window()
+    wu = {k: np.clip(np.rint((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
+          for k, v in wf.items()}
+    wf_exact = {k: v.astype(np.float32) / 127.5 - 1.0 for k, v in wu.items()}
+    of = pipe.sample_long([wf_exact], jax.random.PRNGKey(4))
+    ou = pipe.sample_long([wu], jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(of, ou)

@@ -152,7 +152,9 @@ def packed_attribution(iters=50):
             p.astype(t.dtype), t, (((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32).astype(t.dtype)
 
-    raw = 4.0 * b * l * l * c          # packed formulation FLOPs
+    # packed formulation: each of the h heads contracts over the FULL
+    # packed channel axis c (that is the 128-lane redundancy), two matmuls
+    raw = 4.0 * b * h * l * l * c
     useful = raw / (c // 16)           # dh=16 useful FLOPs
 
     t_full = _timed_loop(
