@@ -175,17 +175,20 @@ def nms(dets: np.ndarray, thresh: float) -> list[int]:
 _BGR_MEANS = np.array([104.0, 117.0, 123.0], np.float32)
 
 
-def topk_candidates(olist, k: int = 128, threshold: float = 0.5):
-    """Device-side compaction of the 12 detection maps: per scale, the
-    top-k face-confidence anchors (scores, flat indices, loc vectors), the
-    per-frame above-threshold count, and the (static) map size. Shrinks the
-    per-chunk fetch from ~8 MB of maps to ~1 MB of candidates; exact as
-    long as count ≤ k (callers fall back to the full maps otherwise).
-    jnp in, jnp out — runs inside the jitted detector program."""
+def topk_candidates_packed(olist, k: int = 128, threshold: float = 0.5):
+    """Like ``topk_candidates`` but returns ONE packed fp32 array
+    [T, S, k+1, 6] instead of a 24-leaf tree: per scale, row 0 is metadata
+    (count, h, w, 0, 0, 0) and rows 1..k are candidates (score, flat idx,
+    loc0..loc3). Scales with fewer than k anchors pad with score = -1e30.
+
+    Why: over the device tunnel each fetched leaf is its own ~110 ms
+    round-trip (measured round 4) — the 24-leaf tree cost ~2.6 s per
+    64-frame chunk; one array is one fetch. idx is exact in fp32 up to
+    2^24 anchors (the largest map here is 64×64 = 4096)."""
     import jax.numpy as jnp
     from jax import lax
 
-    out = []
+    scales = []
     for i in range(len(olist) // 2):
         conf, loc = olist[2 * i], olist[2 * i + 1]
         t, h, w = conf.shape[0], conf.shape[1], conf.shape[2]
@@ -194,29 +197,34 @@ def topk_candidates(olist, k: int = 128, threshold: float = 0.5):
         score, idx = lax.top_k(flat, kk)
         loc_flat = loc.reshape(t, h * w, 4)
         cand_loc = jnp.take_along_axis(loc_flat, idx[..., None], axis=1)
-        count = (flat > threshold).sum(axis=-1).astype(jnp.int32)
-        # hw broadcast per frame so every leaf shares the leading chunk
-        # axis (padded_chunk_apply trims/concats all leaves on axis 0)
-        out.append({"score": score, "idx": idx.astype(jnp.int32),
-                    "loc": cand_loc, "count": count,
-                    "hw": jnp.broadcast_to(
-                        jnp.array([h, w], jnp.int32), (t, 2))})
-    return out
+        count = (flat > threshold).sum(axis=-1).astype(jnp.float32)
+        rows = jnp.concatenate(
+            [score[..., None], idx[..., None].astype(jnp.float32),
+             cand_loc.astype(jnp.float32)], axis=-1)        # [t, kk, 6]
+        if kk < k:
+            pad = jnp.full((t, k - kk, 6), -1e30, jnp.float32)
+            rows = jnp.concatenate([rows, pad], axis=1)
+        meta = jnp.broadcast_to(
+            jnp.array([0.0, h, w, 0.0, 0.0, 0.0], jnp.float32), (t, 6))
+        meta = jnp.concatenate([count[:, None], meta[:, 1:]], axis=-1)
+        scales.append(jnp.concatenate([meta[:, None, :], rows], axis=1))
+    return jnp.stack(scales, axis=1)                        # [t, S, k+1, 6]
 
 
-def decode_candidates(cands, threshold: float = 0.5,
-                      variances=(0.1, 0.2)) -> list[np.ndarray]:
-    """SSD decode + per-frame NMS from ``topk_candidates`` output. Same
-    results as ``decode_detections_batch`` on the full maps whenever every
-    per-frame above-threshold count fits in the candidate budget."""
-    t_total = int(np.asarray(cands[0]["score"]).shape[0])
+def decode_candidates_packed(arr: np.ndarray, threshold: float = 0.5,
+                             variances=(0.1, 0.2)) -> list[np.ndarray]:
+    """SSD decode + per-frame NMS from ``topk_candidates_packed`` output.
+    Same results as ``decode_detections_batch`` on the full maps whenever
+    every per-frame above-threshold count fits in the candidate budget."""
+    arr = np.asarray(arr)
+    t_total = arr.shape[0]
     per_frame: list[list[np.ndarray]] = [[] for _ in range(t_total)]
-    for i, c in enumerate(cands):
+    for i in range(arr.shape[1]):
         stride = 2 << (i + 1)
-        score = np.asarray(c["score"])
-        idx = np.asarray(c["idx"])
-        loc = np.asarray(c["loc"])
-        w_map = int(np.asarray(c["hw"])[0, 1])
+        w_map = int(arr[0, i, 0, 2])
+        score = arr[:, i, 1:, 0]
+        idx = arr[:, i, 1:, 1].astype(np.int64)
+        loc = arr[:, i, 1:, 2:6]
         ts, js = np.nonzero(score > threshold)
         if ts.size == 0:
             continue
@@ -263,8 +271,9 @@ class S3FDDetector:
                 - jnp.asarray(_BGR_MEANS))
 
         self._apply = jax.jit(fwd)
-        # compact program: only top-k candidates per scale leave the device
-        self._apply_topk = jax.jit(lambda p, x_u8: topk_candidates(
+        # compact program: only top-k candidates per scale leave the
+        # device, packed into ONE array = ONE fetch round-trip
+        self._apply_topk = jax.jit(lambda p, x_u8: topk_candidates_packed(
             fwd(p, x_u8), topk, threshold))
 
     def __call__(self, frame_u8: np.ndarray):
@@ -287,9 +296,8 @@ class S3FDDetector:
             cands = padded_chunk_apply(
                 lambda part: tk(self.params, jnp.asarray(part)),
                 frames_c, self.chunk)
-            if all(int(np.asarray(c["count"]).max(initial=0)) <= self.topk
-                   for c in cands):
-                all_dets = decode_candidates(cands, self.threshold)
+            if float(cands[:, :, 0, 0].max(initial=0)) <= self.topk:
+                all_dets = decode_candidates_packed(cands, self.threshold)
             # else: a frame overflows the candidate budget (crowded scene)
             # — refetch the full maps below for exactness
         if all_dets is None:

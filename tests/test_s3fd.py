@@ -218,9 +218,9 @@ def test_decode_batch_matches_single():
 def test_topk_candidates_decode_matches_full_maps():
     """Device-side top-k compaction decodes to exactly the full-map results
     when per-frame counts fit the budget; counts report overflow truthfully."""
-    from moditalker_tpu.preprocess.s3fd import (decode_candidates,
+    from moditalker_tpu.preprocess.s3fd import (decode_candidates_packed,
                                                 decode_detections_batch,
-                                                topk_candidates)
+                                                topk_candidates_packed)
 
     rng = np.random.default_rng(11)
     t = 3
@@ -231,16 +231,17 @@ def test_topk_candidates_decode_matches_full_maps():
         olist.append(rng.normal(scale=0.3, size=(t, hw, hw, 4))
                      .astype(np.float32))
     thr = 0.8
-    cands = topk_candidates([jnp.asarray(o) for o in olist], 64, thr)
-    got = decode_candidates(jax.tree_util.tree_map(np.asarray, cands), thr)
+    cands = np.asarray(
+        topk_candidates_packed([jnp.asarray(o) for o in olist], 64, thr))
+    got = decode_candidates_packed(cands, thr)
     want = decode_detections_batch(olist, thr)
     assert len(got) == len(want) == t
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-6)
-    # counts are exact above-threshold tallies
-    for i, c in enumerate(cands):
+    # counts are exact above-threshold tallies (metadata row, slot 0)
+    for i in range(cands.shape[1]):
         flat = olist[2 * i][..., 1].reshape(t, -1)
-        np.testing.assert_array_equal(np.asarray(c["count"]),
+        np.testing.assert_array_equal(cands[:, i, 0, 0].astype(np.int64),
                                       (flat > thr).sum(-1))
 
 
@@ -267,8 +268,9 @@ def test_boxes_for_frames_topk_and_fallback():
             self.topk = topk
             self.params = None
             self._apply = lambda p, x: [jnp.asarray(o) for o in olist]
-            self._apply_topk = lambda p, x: s3fd_mod.topk_candidates(
-                [jnp.asarray(o) for o in olist], topk, 0.5)
+            self._apply_topk = (
+                lambda p, x: s3fd_mod.topk_candidates_packed(
+                    [jnp.asarray(o) for o in olist], topk, 0.5))
 
     frames = np.zeros((t, 16, 16, 3), np.uint8)
     via_topk = Det(topk=512).boxes_for_frames(frames)
