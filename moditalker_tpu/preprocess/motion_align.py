@@ -32,6 +32,20 @@ from .bfm import compute_rotation, rigid_transform
 HORIZON = 156
 NUM_OF_FRAME = 75  # chunking constant (ref align_face_recon.py:315)
 
+_POSE_FN = None
+
+
+def _pose_fn():
+    """Jitted euler→rotation + rigid transform (lazy: keeps numpy-only
+    callers of this module off the device entirely)."""
+    global _POSE_FN
+    if _POSE_FN is None:
+        import jax
+
+        _POSE_FN = jax.jit(lambda lm, ang, tr: rigid_transform(
+            lm, compute_rotation(ang), tr))
+    return _POSE_FN
+
 
 def pose_align_landmarks(
     lm68_atom: np.ndarray,      # [T, 68, 3] frontalized (AToM output, abs)
@@ -42,16 +56,17 @@ def pose_align_landmarks(
 ) -> np.ndarray:
     """Returns [T, 68, 2] image-space aligned landmarks
     (ref align_face_recon.py:253-293)."""
-    import jax.numpy as jnp
-
     t = lm68_atom.shape[0]
     angles = coeff[:, 224:227]
     translation = coeff[:, 254:257]
-    rot = np.asarray(compute_rotation(jnp.asarray(angles)))
 
-    # pose the frontalized landmarks
-    lm_r = np.asarray(rigid_transform(
-        jnp.asarray(lm68_atom), jnp.asarray(rot), jnp.asarray(translation)))
+    # pose the frontalized landmarks: rotation-from-euler + rigid transform
+    # as ONE jitted program — eager jnp ops here walk the device tunnel
+    # op-by-op (~42 ms per dispatch, measured round 4; the chain cost ~6 s
+    # of the e2e align stage as "other host math")
+    lm_r = np.asarray(_pose_fn()(
+        np.asarray(lm68_atom, np.float32), np.asarray(angles, np.float32),
+        np.asarray(translation, np.float32)))
 
     # per-frame similarity params from the driving detections
     lm5 = align.lm68_to_lm5(lm68_driving)
