@@ -449,4 +449,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        # Relay-robustness fallback: a degraded relay session can
+        # RESOURCE_EXHAUSTED the B=8 default (observed round 4 after a
+        # leaky relay day) — retry once at B=4 in a fresh process so the
+        # driver's end-of-round record never comes up empty. Explicit
+        # BENCH_BATCH settings are respected (no fallback).
+        if os.environ.get("BENCH_BATCH") or BATCH <= 4:
+            raise
+        print(f"bench failed at BATCH={BATCH} ({type(e).__name__}); "
+              "retrying at BENCH_BATCH=4", file=sys.stderr, flush=True)
+        import subprocess
+
+        env = dict(os.environ, BENCH_BATCH="4")
+        raise SystemExit(subprocess.call(
+            [sys.executable, os.path.abspath(__file__)], env=env))
