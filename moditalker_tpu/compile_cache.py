@@ -14,6 +14,15 @@ cold cache instead of a poisoned one.
 ``host_fingerprint`` deliberately avoids importing jax (the driver
 environment's sitecustomize can block on ``import jax`` when the TPU relay
 is down); the jax version comes from package metadata.
+
+Known benign noise (round 4, verified same-host): XLA's cpu_aot_loader
+embeds TUNING preferences (``+prefer-no-gather``/``+prefer-no-scatter``)
+in the compile-machine feature list but never reports them in the host
+feature list, so every AOT load — including loads of entries this very
+host wrote moments earlier into its own fingerprint dir — logs a
+"machine feature ... not supported" error line. Same-host loads execute
+correctly (dryrun_multichip green, rc=0, bit-exact results); the
+fingerprint key still prevents the genuinely dangerous cross-host case.
 """
 
 from __future__ import annotations
