@@ -10,7 +10,16 @@ from __future__ import annotations
 
 import os
 import subprocess
-from multiprocessing import Pool
+import multiprocessing
+
+# "spawn", never the Linux-default "fork": the corpus drivers run inside
+# processes that may already hold initialized jax/XLA thread pools (the
+# CLI, the test suite), and forking a multi-threaded process deadlocks the
+# child (observed round 4: a Pool worker forked ~15 min into the full
+# suite hung indefinitely). spawn is fork+exec -- immune, and these workers
+# only shell out to ffmpeg so the spawn-import cost is irrelevant.
+_MP = multiprocessing.get_context("spawn")
+Pool = _MP.Pool
 
 
 def _run(cmd: list[str]):
