@@ -26,9 +26,16 @@ def recorded(tmp_path_factory):
     return g
 
 
-def test_golden_record_then_check(recorded, capsys):
-    cli.main(["golden", "--mode", "check", "--golden", str(recorded),
-              "--tiny"])
+def test_golden_record_then_check(recorded, tiny_probes, capsys):
+    # drive the CLI success path without a THIRD probe run (~29 s): probe
+    # math is already covered twice (fixture + CLI record); mocking here
+    # exercises the check glue only, like the failure-path test below
+    import unittest.mock as mock
+
+    with mock.patch.object(golden, "run_probes",
+                           return_value=dict(tiny_probes)):
+        cli.main(["golden", "--mode", "check", "--golden", str(recorded),
+                  "--tiny"])
     out = capsys.readouterr().out
     assert '"ok": true' in out
 
