@@ -298,12 +298,16 @@ class FanLandmarker:
     """
 
     def __init__(self, fan_params, num_modules: int = 4,
-                 initial_box=None, detector_fn=None, chunk: int = 64):
+                 initial_box=None, detector_fn=None, chunk: int = 64,
+                 dtype=None):
         import jax
 
         import jax.numpy as jnp
 
-        self.model = FAN(num_modules=num_modules)
+        # dtype=bfloat16: bf16 hourglass trunk (fp32 params; the heatmap
+        # decode runs fp32) — the TPU eval mode; fp32 default is what the
+        # parity tests pin.
+        self.model = FAN(num_modules=num_modules, dtype=dtype or jnp.float32)
         self.params = fan_params
         self.initial_box = initial_box
         self.detector_fn = detector_fn
@@ -317,7 +321,8 @@ class FanLandmarker:
         # uint8-quantized too.
         self._apply_pts = jax.jit(
             lambda p, x_u8: decode_heatmaps_jnp(self.model.apply(
-                p, x_u8.astype(jnp.float32) / 255.0)[-1]))
+                p, x_u8.astype(jnp.float32) / 255.0)[-1]
+                .astype(jnp.float32)))
 
     @classmethod
     def with_s3fd(cls, fan_params, s3fd_params, num_modules: int = 4,

@@ -27,35 +27,42 @@ class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       epsilon=1e-5, name=name)
+                                       epsilon=1e-5, dtype=d, name=name)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=d,
+                    name="conv1")(x)
         y = jax.nn.relu(bn("bn1")(y))
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, dtype=d, name="conv2")(y)
         y = jax.nn.relu(bn("bn2")(y))
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=d,
+                    name="conv3")(y)
         y = bn("bn3")(y)
         if self.downsample:
             residual = nn.Conv(self.features * 4, (1, 1),
                                strides=self.strides, use_bias=False,
-                               name="ds_conv")(x)
+                               dtype=d, name="ds_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    epsilon=1e-5, name="ds_bn")(residual)
+                                    epsilon=1e-5, dtype=d,
+                                    name="ds_bn")(residual)
         return jax.nn.relu(y + residual)
 
 
 class ResNet50Trunk(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                         name="bn1")(x)
+                         dtype=self.dtype, name="bn1")(x)
         x = jax.nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -65,17 +72,24 @@ class ResNet50Trunk(nn.Module):
             for bi in range(blocks):
                 x = Bottleneck(
                     feats, strides=stride if bi == 0 else 1,
-                    downsample=(bi == 0), name=f"layer{li + 1}_{bi}")(
-                        x, train)
+                    downsample=(bi == 0), dtype=self.dtype,
+                    name=f"layer{li + 1}_{bi}")(x, train)
         return x.mean(axis=(1, 2), keepdims=True)  # [B,1,1,2048]
 
 
 class ReconNet(nn.Module):
-    """ResNet-50 + seven 1×1 coefficient heads → [B, 257]."""
+    """ResNet-50 + seven 1×1 coefficient heads → [B, 257].
+
+    ``dtype=jnp.bfloat16`` runs the conv trunk in bf16 (params and the
+    coefficient heads stay fp32) — the TPU eval mode; default fp32
+    matches the torch reference bit-for-bit in the parity tests."""
+
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ResNet50Trunk(name="backbone")(x, train)
+        h = ResNet50Trunk(dtype=self.dtype, name="backbone")(x, train)
+        h = h.astype(jnp.float32)
         outs = []
         for i, dim in enumerate(COEFF_SPLITS):
             outs.append(nn.Dense(dim, kernel_init=nn.initializers.zeros,

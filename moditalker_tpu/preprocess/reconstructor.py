@@ -23,7 +23,7 @@ from .recon_net import ReconNet
 class Reconstructor:
     def __init__(self, recon_params, lm3d_std: np.ndarray | None = None,
                  rescale_factor: float = 102.0, bfm_dir: str | None = None,
-                 chunk: int = 64):
+                 chunk: int = 64, dtype=None):
         import jax
 
         if lm3d_std is None:
@@ -33,7 +33,11 @@ class Reconstructor:
 
             lm3d_std = (load_lm3d(bfm_dir) if bfm_dir
                         else synthetic_lm3d_std())
-        self.model = ReconNet()
+        import jax.numpy as _jnp
+
+        # dtype=bfloat16: bf16 conv trunk (fp32 params/heads) — the TPU
+        # eval mode; the fp32 default is what the parity tests pin.
+        self.model = ReconNet(dtype=dtype or _jnp.float32)
         self.params = recon_params
         self.lm3d_std = np.asarray(lm3d_std, np.float64)
         self.rescale_factor = rescale_factor

@@ -256,8 +256,10 @@ class S3FDDetector:
     [x0,y0,x1,y1] of the highest-scoring face (None if no detection)."""
 
     def __init__(self, params, threshold: float = 0.5, chunk: int = 64,
-                 topk: int = 128):
-        self.model = S3FD()
+                 topk: int = 128, dtype=None):
+        # dtype=bfloat16: bf16 conv trunk (detection heads already emit
+        # fp32 softmax/loc maps) — the TPU eval mode.
+        self.model = S3FD(dtype=dtype or jnp.float32)
         self.params = params
         self.threshold = threshold
         self.chunk = chunk

@@ -153,3 +153,36 @@ def test_device_decode_matches_host_decode():
     full = fan.heatmaps_to_landmarks(hm.copy(), center=center, scale=scale)
     via = fan.project_heatmap_coords(dev, center, scale)
     np.testing.assert_allclose(via, full, rtol=0, atol=1e-9)
+
+
+def test_bf16_eval_mode_smoke():
+    """dtype=bfloat16 is the TPU eval mode for the preprocessing nets: the
+    conv trunks compute in bf16, params and the decode/output heads stay
+    fp32. Random-init heatmaps are near-flat (argmax agreement with fp32 is
+    only meaningful with real weights — validated by the golden harness),
+    so this pins shape/dtype/finiteness and that both dtypes share params."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.uint8)
+    boxes = np.tile(np.array([[30.0, 30.0, 100.0, 100.0]]), (2, 1))
+    model = fan.FAN(num_modules=1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 128, 128, 3)))
+    lm16 = fan.FanLandmarker(params, num_modules=1,
+                             dtype=jnp.bfloat16).landmarks_batched(
+        frames, boxes)
+    assert lm16.shape == (2, 68, 2)
+    assert np.isfinite(lm16).all()
+
+    from moditalker_tpu.preprocess.recon_net import ReconNet
+    from moditalker_tpu.preprocess.reconstructor import Reconstructor
+    from moditalker_tpu.preprocess.load_mats import synthetic_lm3d_std
+
+    rp = jax.jit(ReconNet().init)(jax.random.PRNGKey(1),
+                                  jnp.zeros((1, 224, 224, 3)))
+    rec = Reconstructor(rp, synthetic_lm3d_std(), chunk=2,
+                        dtype=jnp.bfloat16)
+    lm68 = np.tile(lm16[:1], (2, 1, 1))
+    coeff, _ = rec.recon_coeff(
+        rng.integers(0, 255, (2, 256, 256, 3)).astype(np.uint8), lm68)
+    assert coeff.shape == (2, 257)
+    assert np.isfinite(coeff).all()
