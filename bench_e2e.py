@@ -100,7 +100,9 @@ def main():
 
     fan_model = FAN(num_modules=4)
     fan_params = jax.jit(fan_model.init)(key, jnp.zeros((1, 256, 256, 3)))
-    fan = FanLandmarker(fan_params)
+    # bf16 conv trunks = the TPU eval mode (fp32 params/heads; fp32 is the
+    # parity-test path, bf16 agreement at real weights is golden's job)
+    fan = FanLandmarker(fan_params, dtype=jnp.bfloat16)
 
     from moditalker_tpu.preprocess.s3fd import S3FD, S3FDDetector
 
@@ -113,7 +115,7 @@ def main():
     # take (real detections are sparse). 0.999 keeps counts inside the
     # budget so the phase times the production program sequence; FLOPs are
     # identical (thresholds gate only the host decode).
-    s3_det = S3FDDetector(s3_params, threshold=0.999)
+    s3_det = S3FDDetector(s3_params, threshold=0.999, dtype=jnp.bfloat16)
 
     align_phases: dict[str, float] = {}
 
@@ -144,7 +146,7 @@ def main():
     recon_params = jax.jit(recon_model.init)(key,
                                              jnp.zeros((1, 224, 224, 3)))
     lm3d_std = synthetic_lm3d_std()
-    recon = Reconstructor(recon_params, lm3d_std)
+    recon = Reconstructor(recon_params, lm3d_std, dtype=jnp.bfloat16)
     aligner = MotionAligner(landmark_fn, timed("recon", recon.coeff_fn()),
                             lm3d_std)
 

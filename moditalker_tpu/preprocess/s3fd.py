@@ -202,7 +202,11 @@ def topk_candidates_packed(olist, k: int = 128, threshold: float = 0.5):
             [score[..., None], idx[..., None].astype(jnp.float32),
              cand_loc.astype(jnp.float32)], axis=-1)        # [t, kk, 6]
         if kk < k:
-            pad = jnp.full((t, k - kk, 6), -1e30, jnp.float32)
+            # pad score with -1e30 (never clears any threshold); idx/loc
+            # pad with 0 so the host's int cast of the idx slot stays valid
+            pad = jnp.concatenate([
+                jnp.full((t, k - kk, 1), -1e30, jnp.float32),
+                jnp.zeros((t, k - kk, 5), jnp.float32)], axis=-1)
             rows = jnp.concatenate([rows, pad], axis=1)
         meta = jnp.broadcast_to(
             jnp.array([0.0, h, w, 0.0, 0.0, 0.0], jnp.float32), (t, 6))
