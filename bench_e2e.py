@@ -147,8 +147,25 @@ def main():
                                              jnp.zeros((1, 224, 224, 3)))
     lm3d_std = synthetic_lm3d_std()
     recon = Reconstructor(recon_params, lm3d_std, dtype=jnp.bfloat16)
-    aligner = MotionAligner(landmark_fn, timed("recon", recon.coeff_fn()),
-                            lm3d_std)
+    if os.environ.get("BENCH_E2E_MODULAR_ALIGN"):
+        # the three-program modular path (kept for A/B)
+        aligner = MotionAligner(landmark_fn,
+                                timed("recon", recon.coeff_fn()), lm3d_std)
+    else:
+        # production path: the whole S3FD→crop→FAN→POS→crop→ReconNet chain
+        # as ONE device program per 64-frame chunk (preprocess/fused_align).
+        # require_detection=False: random S3FD weights rarely clear the
+        # threshold; the flag skips the modular neighbour-fill fallback so
+        # the timed path is the fused program sequence (identical FLOPs —
+        # every frame computes from its argmax box either way).
+        from moditalker_tpu.preprocess.fused_align import FusedAligner
+
+        fused = FusedAligner(s3_params, fan_params, recon_params, lm3d_std,
+                             threshold=0.999, dtype=jnp.bfloat16)
+        fused.process = timed("fused", fused.process)
+        aligner = MotionAligner(landmark_fn,
+                                timed("recon", recon.coeff_fn()), lm3d_std,
+                                fused=fused, require_detection=False)
 
     ae_cfg = MtovAEConfig()
     unet_cfg = MtovUNetConfig()

@@ -510,14 +510,14 @@ def cmd_align_motion(args):
     """AToM→MToV glue (ref align_face_recon.py:240-348)."""
     from .preprocess.drivers import align_motion_corpus, build_detectors
 
-    landmark_fn, coeff_fn, lm3d_std, _ = build_detectors(
+    landmark_fn, coeff_fn, lm3d_std, _, fused = build_detectors(
         args.s3fd_ckpt, args.fan_ckpt, args.recon_ckpt, args.bfm_dir,
         synthetic=args.synthetic_detectors)
     written = align_motion_corpus(
         args.frontalized_dir, args.frames_dir, args.out_dir,
         landmark_fn, coeff_fn, lm3d_std,
         process_id=args.process_id, total_processes=args.total,
-        resume=not args.no_resume)
+        resume=not args.no_resume, fused=fused)
     total = sum(written.values())
     print(f"aligned {total} frames across {len(written)} identities "
           f"→ {os.path.join(args.out_dir, 'aligned_npy')}")
@@ -527,7 +527,7 @@ def cmd_extract_keypoints(args):
     """Training-data keypoint trees (ref batchify.py:253-321)."""
     from .preprocess.drivers import build_detectors, extract_keypoints_corpus
 
-    landmark_fn, coeff_fn, lm3d_std, helper = build_detectors(
+    landmark_fn, coeff_fn, lm3d_std, helper, _ = build_detectors(
         args.s3fd_ckpt, args.fan_ckpt, args.recon_ckpt, args.bfm_dir,
         synthetic=args.synthetic_detectors)
     written = extract_keypoints_corpus(

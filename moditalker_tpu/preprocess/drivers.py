@@ -94,18 +94,20 @@ def synthetic_coeff_fn(frames_u8: np.ndarray, lm5: np.ndarray) -> np.ndarray:
 
 def build_detectors(s3fd_ckpt: str | None = None, fan_ckpt: str | None = None,
                     recon_ckpt: str | None = None, bfm_dir: str | None = None,
-                    synthetic: bool = False):
-    """→ (landmark_fn, coeff_fn, lm3d_std, face3d_helper).
+                    synthetic: bool = False, fused: bool = True):
+    """→ (landmark_fn, coeff_fn, lm3d_std, face3d_helper, fused_aligner).
 
     Production: FanLandmarker.with_s3fd + Reconstructor from converted
-    params (``convert-checkpoint --kind s3fd|fan|recon-resnet50``).
-    Synthetic: the deterministic stand-ins above.
+    params (``convert-checkpoint --kind s3fd|fan|recon-resnet50``), plus a
+    ``FusedAligner`` over the SAME params (one device program per chunk —
+    the motion-alignment hot path; ``fused=False`` disables building it).
+    Synthetic: the deterministic stand-ins above (fused_aligner is None).
     """
     if synthetic:
         from .load_mats import synthetic_lm3d_std
 
         return (synthetic_landmark_fn, synthetic_coeff_fn,
-                synthetic_lm3d_std(), Face3DHelper.synthetic())
+                synthetic_lm3d_std(), Face3DHelper.synthetic(), None)
     if not (s3fd_ckpt and fan_ckpt and recon_ckpt):
         raise ValueError(
             "production detectors need --s3fd-ckpt, --fan-ckpt and "
@@ -114,12 +116,21 @@ def build_detectors(s3fd_ckpt: str | None = None, fan_ckpt: str | None = None,
     from .fan import FanLandmarker
     from .reconstructor import Reconstructor
 
-    landmarker = FanLandmarker.with_s3fd(
-        load_single(fan_ckpt), load_single(s3fd_ckpt))
-    recon = Reconstructor(load_single(recon_ckpt), bfm_dir=bfm_dir)
+    fan_params = load_single(fan_ckpt)
+    s3fd_params = load_single(s3fd_ckpt)
+    recon_params = load_single(recon_ckpt)
+    landmarker = FanLandmarker.with_s3fd(fan_params, s3fd_params)
+    recon = Reconstructor(recon_params, bfm_dir=bfm_dir)
     helper = (Face3DHelper.from_bfm(bfm_dir) if bfm_dir
               else Face3DHelper.synthetic())
-    return landmarker, recon.coeff_fn(), recon.lm3d_std, helper
+    fused_aligner = None
+    if fused:
+        from .fused_align import FusedAligner
+
+        fused_aligner = FusedAligner(s3fd_params, fan_params, recon_params,
+                                     recon.lm3d_std)
+    return landmarker, recon.coeff_fn(), recon.lm3d_std, helper, \
+        fused_aligner
 
 
 # ------------------------------------------------------------- align-motion
@@ -148,6 +159,7 @@ def align_motion_corpus(
     total_processes: int = 1,
     resume: bool = True,
     on_error: str = "skip",
+    fused=None,
 ) -> dict[str, int]:
     """Align every identity's frontalized landmarks to its driving frames.
 
@@ -155,10 +167,12 @@ def align_motion_corpus(
     ``{frames_root}/{id}/*.jpg``; out: ``{out_root}/aligned_npy/{id}/*.npy``
     ([68,2] int). Returns {identity: frames written}. Identities stripe
     across processes; completed identities are skipped on resume.
+    ``fused``: an optional ``fused_align.FusedAligner`` — the one-dispatch
+    hot path; the modular callables stay as the detection-gap fallback.
     """
     ids = sorted(d for d in os.listdir(frames_root)
                  if os.path.isdir(os.path.join(frames_root, d)))
-    aligner = MotionAligner(landmark_fn, coeff_fn, lm3d_std)
+    aligner = MotionAligner(landmark_fn, coeff_fn, lm3d_std, fused=fused)
     written: dict[str, int] = {}
     for i in shard_indices(len(ids), process_id, total_processes):
         identity = ids[i]

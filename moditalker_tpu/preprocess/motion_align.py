@@ -53,9 +53,15 @@ def pose_align_landmarks(
     lm68_driving: np.ndarray,   # [T, 68, 2] detected driving landmarks
     img_sizes: np.ndarray,      # [T, 2] (w, h) driving frame sizes
     lm3d_std: np.ndarray,       # [5, 3] BFM standard landmarks
+    crop_t: np.ndarray | None = None,   # [T, 2] precomputed POS translation
+    crop_s: np.ndarray | None = None,   # [T] precomputed POS scale
 ) -> np.ndarray:
     """Returns [T, 68, 2] image-space aligned landmarks
-    (ref align_face_recon.py:253-293)."""
+    (ref align_face_recon.py:253-293).
+
+    ``crop_t``/``crop_s`` let callers that already solved the POS
+    similarity (the reconstructor does, for its crop — and the fused
+    aligner returns it) skip the duplicate per-frame host solve."""
     t = lm68_atom.shape[0]
     angles = coeff[:, 224:227]
     translation = coeff[:, 254:257]
@@ -68,15 +74,19 @@ def pose_align_landmarks(
         np.asarray(lm68_atom, np.float32), np.asarray(angles, np.float32),
         np.asarray(translation, np.float32)))
 
-    # per-frame similarity params from the driving detections
-    lm5 = align.lm68_to_lm5(lm68_driving)
-    ts, ss = [], []
-    for i in range(t):
-        p = align.crop_params(tuple(img_sizes[i]), lm5[i], lm3d_std)
-        ts.append(np.asarray(p["t"]).reshape(2, 1))
-        ss.append(p["s"])
-    t_arr = np.stack(ts)
-    s_arr = np.asarray(ss)
+    if crop_t is not None and crop_s is not None:
+        t_arr = np.asarray(crop_t, np.float64).reshape(t, 2, 1)
+        s_arr = np.asarray(crop_s, np.float64)
+    else:
+        # per-frame similarity params from the driving detections
+        lm5 = align.lm68_to_lm5(lm68_driving)
+        ts, ss = [], []
+        for i in range(t):
+            p = align.crop_params(tuple(img_sizes[i]), lm5[i], lm3d_std)
+            ts.append(np.asarray(p["t"]).reshape(2, 1))
+            ss.append(p["s"])
+        t_arr = np.stack(ts)
+        s_arr = np.asarray(ss)
 
     # template scale then de-align (ref :276-277: ×224/2 + 224/2, int cast)
     lm_224 = (lm_r * 224 / 2 + 224 / 2).astype(int)
@@ -99,22 +109,42 @@ class MotionAligner:
 
     ``landmark_fn(frames_u8 [T,H,W,3]) -> [T,68,2]``;
     ``coeff_fn(frames_u8, lm5 [T,5,2]) -> [T,257]``.
+
+    With ``fused`` (a ``fused_align.FusedAligner``) the whole
+    detect→landmark→reconstruct chain runs as ONE device program per
+    chunk; frames whose detection score misses the threshold fall back to
+    the modular path (which neighbour-fills boxes) unless
+    ``require_detection=False`` — a talking-head corpus detects every
+    frame, so the fallback is a correctness escape hatch, not the hot
+    path.
     """
 
-    def __init__(self, landmark_fn, coeff_fn, lm3d_std: np.ndarray):
+    def __init__(self, landmark_fn, coeff_fn, lm3d_std: np.ndarray,
+                 fused=None, require_detection: bool = True):
         self.landmark_fn = landmark_fn
         self.coeff_fn = coeff_fn
         self.lm3d_std = np.asarray(lm3d_std, np.float64)
+        self.fused = fused
+        self.require_detection = require_detection
 
     def align_sequence(self, lm68_atom: np.ndarray,
                        driving_frames: np.ndarray) -> np.ndarray:
         t = min(lm68_atom.shape[0], driving_frames.shape[0])
         frames = driving_frames[:t]
+        h, w = frames.shape[1:3]
+        sizes = np.tile(np.array([[w, h]]), (t, 1))
+        if self.fused is not None:
+            res = self.fused.process(frames)
+            if (res["detected"].all() or not self.require_detection
+                    or self.landmark_fn is None):
+                return pose_align_landmarks(
+                    lm68_atom[:t], res["coeff"], res["lm68"], sizes,
+                    self.lm3d_std, crop_t=res["t"], crop_s=res["s"])
+            # incomplete detection coverage → the modular path's
+            # neighbour-fill semantics (S3FDDetector.boxes_for_frames)
         lm68_fa = np.asarray(self.landmark_fn(frames))
         lm5_fa = align.lm68_to_lm5(lm68_fa)
         coeff = np.asarray(self.coeff_fn(frames, lm5_fa))
-        h, w = frames.shape[1:3]
-        sizes = np.tile(np.array([[w, h]]), (t, 1))
         return pose_align_landmarks(lm68_atom[:t], coeff, lm68_fa, sizes,
                                     self.lm3d_std)
 

@@ -34,7 +34,7 @@ def corpus(tmp_path):
 
 def test_align_motion_corpus(corpus):
     tmp, frames_root, front_root = corpus
-    lf, cf, std, _ = drivers.build_detectors(synthetic=True)
+    lf, cf, std, _, _ = drivers.build_detectors(synthetic=True)
     out = tmp / "out"
     written = drivers.align_motion_corpus(
         str(front_root), str(frames_root), str(out), lf, cf, std, chunk=4)
@@ -54,7 +54,7 @@ def test_align_motion_corpus(corpus):
 
 def test_align_motion_striping(corpus):
     tmp, frames_root, front_root = corpus
-    lf, cf, std, _ = drivers.build_detectors(synthetic=True)
+    lf, cf, std, _, _ = drivers.build_detectors(synthetic=True)
     out = tmp / "striped"
     w0 = drivers.align_motion_corpus(
         str(front_root), str(frames_root), str(out), lf, cf, std,
@@ -68,7 +68,7 @@ def test_align_motion_striping(corpus):
 
 def test_extract_keypoints_corpus(corpus):
     tmp, frames_root, _ = corpus
-    lf, cf, std, helper = drivers.build_detectors(synthetic=True)
+    lf, cf, std, helper, _ = drivers.build_detectors(synthetic=True)
     out = tmp / "kpts"
     written = drivers.extract_keypoints_corpus(
         str(frames_root), str(out), lf, cf, helper, std, batch_size=4)
@@ -92,7 +92,7 @@ def test_extract_keypoints_skips_bad_batch(corpus, capsys):
     still processed (ref batchify.py:319-321 blanket-continue)."""
     tmp, frames_root, _ = corpus
     (frames_root / "WDA_A" / "00002.jpg").write_bytes(b"not a jpeg")
-    lf, cf, std, helper = drivers.build_detectors(synthetic=True)
+    lf, cf, std, helper, _ = drivers.build_detectors(synthetic=True)
     out = tmp / "kpts_bad"
     written = drivers.extract_keypoints_corpus(
         str(frames_root), str(out), lf, cf, helper, std, batch_size=2)
