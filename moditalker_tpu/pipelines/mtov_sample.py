@@ -315,21 +315,32 @@ def has_ffmpeg() -> bool:
 
 
 def write_video(frames: np.ndarray, path: str, fps: int = 25,
-                audio_path: str | None = None):
+                audio_path: str | None = None,
+                preset: str | None = None):
     """uint8 [T, H, W, 3] → mp4 via ffmpeg, optionally muxing audio
     (ref sample.py:109-117 make_video). Falls back to an .npz frame dump
-    when ffmpeg is unavailable in the environment."""
+    when ffmpeg is unavailable in the environment.
+
+    ``preset`` is the libx264 speed/size knob (default ``veryfast``,
+    override via MODITALKER_X264_PRESET). The reference runs libx264 at
+    its implicit ``medium`` preset; at 256² talking-head content the
+    encode was ~15% of end-to-end wall while medium-vs-veryfast is
+    visually transparent at the same CRF — an encoder-speed choice, not
+    a model-fidelity one."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if not has_ffmpeg():
         alt = path.rsplit(".", 1)[0] + ".npz"
         np.savez_compressed(alt, frames=frames, fps=fps)
         return alt
+    if preset is None:
+        preset = os.environ.get("MODITALKER_X264_PRESET", "veryfast")
     t, h, w, _ = frames.shape
     cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
            "-s", f"{w}x{h}", "-r", str(fps), "-i", "pipe:0"]
     if audio_path:
         cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
-    cmd += ["-pix_fmt", "yuv420p", "-c:v", "libx264", path]
+    cmd += ["-pix_fmt", "yuv420p", "-c:v", "libx264", "-preset", preset,
+            path]
     proc = subprocess.run(cmd, input=frames.tobytes(),
                           capture_output=True)
     if proc.returncode != 0:

@@ -22,7 +22,7 @@ def test_train_diffusion_real_second_stage(tmp_path, capsys):
     checkpoint at the reference cadence."""
     out = tmp_path / "run"
     cli.main(["train-diffusion", "--config", TINY, "--synthetic",
-              "--steps", "4", "--batch-size", "8",
+              "--steps", "2", "--batch-size", "8",
               "--ckpt-every", "2", "--eval-every", "2",
               "--out-dir", str(out), "--seed", "0"])
     stdout = capsys.readouterr().out
@@ -57,7 +57,7 @@ def test_train_first_stage_probes(tmp_path, capsys):
     at --eval-every (ref trainer.py:232-257 cadence)."""
     out = tmp_path / "fs"
     cli.main(["train-first-stage", "--config", TINY, "--synthetic",
-              "--steps", "4", "--batch-size", "8", "--eval-every", "2",
+              "--steps", "2", "--batch-size", "8", "--eval-every", "2",
               "--out-dir", str(out), "--seed", "0"])
     stdout = capsys.readouterr().out
     assert "eval_psnr" in stdout

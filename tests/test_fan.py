@@ -8,10 +8,22 @@ import jax.numpy as jnp
 from moditalker_tpu.preprocess import fan
 
 
-def test_fan_output_shapes():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fan1_params():
+    """One FAN(num_modules=1) init shared by the module: FAN is fully
+    convolutional, so params from a 64² init serve every input size. Each
+    init executes ~2 s of random param generation on the CPU backend."""
+    return jax.jit(fan.FAN(num_modules=1).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+
+def test_fan_output_shapes(fan1_params):
     model = fan.FAN(num_modules=1)  # 1 module keeps the CPU test light
     x = jnp.zeros((1, 64, 64, 3))   # FAN is fully convolutional
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    params = fan1_params
     outs = model.apply(params, x)
     assert len(outs) == 1
     assert outs[0].shape == (1, 16, 16, 68)
@@ -114,13 +126,10 @@ def test_convert_fan_structure():
     assert out[0].shape == (1, 16, 16, 68)
 
 
-def test_fan_landmarker_tracks(tmp_path):
-    from moditalker_tpu.preprocess.fan import FAN, FanLandmarker
+def test_fan_landmarker_tracks(tmp_path, fan1_params):
+    from moditalker_tpu.preprocess.fan import FanLandmarker
 
-    model = fan.FAN(num_modules=1)
-    x = jnp.zeros((1, 256, 256, 3))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-    tracker = FanLandmarker(params, num_modules=1)
+    tracker = FanLandmarker(fan1_params, num_modules=1)
     frames = (np.random.default_rng(0).uniform(0, 255, (2, 128, 128, 3))
               .astype(np.uint8))
     lm = tracker(frames)
@@ -155,7 +164,7 @@ def test_device_decode_matches_host_decode():
     np.testing.assert_allclose(via, full, rtol=0, atol=1e-9)
 
 
-def test_bf16_eval_mode_smoke():
+def test_bf16_eval_mode_smoke(fan1_params):
     """dtype=bfloat16 is the TPU eval mode for the preprocessing nets: the
     conv trunks compute in bf16, params and the decode/output heads stay
     fp32. Random-init heatmaps are near-flat (argmax agreement with fp32 is
@@ -164,10 +173,9 @@ def test_bf16_eval_mode_smoke():
     rng = np.random.default_rng(3)
     frames = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.uint8)
     boxes = np.tile(np.array([[30.0, 30.0, 100.0, 100.0]]), (2, 1))
-    model = fan.FAN(num_modules=1)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 128, 128, 3)))
-    lm16 = fan.FanLandmarker(params, num_modules=1,
+    # chunk=2: the default 64 pads these 2 frames to a 64-frame FAN forward
+    # (32x wasted XLA:CPU execution — measured 33 s of this test's 42 s)
+    lm16 = fan.FanLandmarker(fan1_params, num_modules=1, chunk=2,
                              dtype=jnp.bfloat16).landmarks_batched(
         frames, boxes)
     assert lm16.shape == (2, 68, 2)

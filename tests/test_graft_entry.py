@@ -4,17 +4,15 @@ import sys
 
 
 def test_dryrun_multichip_8():
+    # n=8 is the driver's exact call; other mesh sizes (1/2/4) are covered
+    # through the real pipeline entries by tests/test_pipeline_sharding.py
+    # and the 2D-mesh TP primitives by tests/test_parallel.py — a second
+    # in-process dry run at n=4 re-traced the full trainer for ~24 s of
+    # suite time without new coverage.
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
-
-
-def test_dryrun_multichip_4():
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as g
-
-    g.dryrun_multichip(4)
 
 
 def test_dryrun_multichip_driver_env():

@@ -44,7 +44,9 @@ def test_first_stage_g_only_loss_drops():
     # disc_start huge → pure reconstruction phase like base.yaml (1e8)
     trainer = FirstStageTrainer(AE_TINY, LOSS_G_ONLY, TRAIN, mesh=_mesh1())
     v = _video()
-    losses = [float(trainer.step(v)["ae_loss"]) for _ in range(8)]
+    # 5 steps, not more: each G step executes LPIPS-VGG16 fwd+bwd (~2 s on
+    # the 1-vCPU backend); 2 optimizer updates (accum 2) suffice for descent
+    losses = [float(trainer.step(v)["ae_loss"]) for _ in range(5)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-2:]) < np.mean(losses[:2])
 
@@ -54,12 +56,13 @@ def test_first_stage_gan_phase_alternation():
     trainer = FirstStageTrainer(AE_TINY, LOSS_GAN, TRAIN, mesh=_mesh1())
     v = _video()
     kinds = []
-    for _ in range(8):
+    for _ in range(6):
         m = trainer.step(v)
         kinds.append("d" if "d_loss" in m else "g")
         assert np.isfinite(float(list(m.values())[0]))
-    # accum 2: two g steps, then two d steps, ...
-    assert kinds == ["g", "g", "d", "d", "g", "g", "d", "d"]
+    # accum 2: two g steps, then two d steps, then back to g — 6 steps show
+    # the full cycle plus the wrap-around
+    assert kinds == ["g", "g", "d", "d", "g", "g"]
 
 
 def test_first_stage_freeze_decoder():
@@ -108,12 +111,12 @@ def test_diffusion_trainer_loss_drops(diff_trainer):
         "cond": rng.normal(size=(8, 8, 48)).astype(np.float32),
         "image_cond": rng.normal(size=(8, 4, 48)).astype(np.float32),
     }
-    losses = [float(trainer.step(batch)["loss"]) for _ in range(12)]
+    losses = [float(trainer.step(batch)["loss"]) for _ in range(8)]
     assert np.isfinite(losses).all()
     # each step draws a fresh (t, noise) so per-step loss is noisy; just
     # require no divergence and that the optimizer actually moved params
-    assert np.mean(losses[-4:]) < 2.0 * np.mean(losses[:4])
-    assert int(trainer.state.step) >= 12
+    assert np.mean(losses[-3:]) < 2.0 * np.mean(losses[:3])
+    assert int(trainer.state.step) >= 8
 
 
 def test_latent_diffusion_loop_with_frozen_aes(diff_trainer):

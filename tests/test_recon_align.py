@@ -15,10 +15,18 @@ needs_ref = pytest.mark.skipif(
 )
 
 
-def test_recon_net_shapes():
+@pytest.fixture(scope="module")
+def recon_params():
+    """One ReconNet (ResNet-50) init shared by the module — each init
+    executes ~5 s of random param generation on the CPU backend."""
+    return jax.jit(ReconNet().init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 224, 224, 3)))
+
+
+def test_recon_net_shapes(recon_params):
     model = ReconNet()
     x = jnp.zeros((1, 224, 224, 3))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    params = recon_params
     out = model.apply(params, x)
     assert out.shape == (1, 257)
     # zero-init heads → zero coefficients at init (ref networks.py:94-96)
@@ -114,18 +122,12 @@ def test_motion_aligner_writes_layout(tmp_path):
     assert "aligned_npy/WDA_Test" in paths[0].replace("\\", "/")
 
 
-def test_reconstructor_pipeline(tmp_path):
+def test_reconstructor_pipeline(tmp_path, recon_params):
     """Images + landmarks → coeffs with crop params, end to end."""
-    import jax
-    import jax.numpy as jnp
-
     from moditalker_tpu.preprocess.reconstructor import Reconstructor
 
     rng = np.random.default_rng(0)
-    model = ReconNet()
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 224, 224, 3)))
-    recon = Reconstructor(params, rng.normal(size=(5, 3)), chunk=4)
+    recon = Reconstructor(recon_params, rng.normal(size=(5, 3)), chunk=4)
     frames = rng.integers(0, 255, (3, 300, 280, 3)).astype(np.uint8)
     lm68 = rng.uniform(60, 220, (3, 68, 2))
     coeff, trans_params = recon.recon_coeff(frames, lm68)
