@@ -80,13 +80,10 @@ def _packed_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, heads):
     # softmax denominator divides the [BLK, C] per-head OUTPUT rows instead
     # of the [BLK, L] probability tile (exact: out_h = (p @ v_h) / l).
     #
-    # VPU economy (round 4): the head isolation masks moved from k/v to
-    # q/output — (q⊙m)·kᵀ == q·(k⊙m)ᵀ and (p@v)⊙m == p@(v⊙m) for 0/1 lane
-    # masks (bit-identical: ×1.0 and ×0 are exact) — so the per-head mask
-    # passes shrink from 2×[L, C] (262K elems at L=2048) to 2×[BLK, C]
-    # (16K), ~40% of the kernel's VPU work. The head loop is also software-
-    # pipelined: head h+1's score matmul (MXU) is emitted before head h's
-    # softmax (VPU), giving the scheduler independent work on both units.
+    # Head isolation via q-side masks (round 4): (q⊙m)·kᵀ == q·(k⊙m)ᵀ and
+    # (p@v)⊙m == p@(v⊙m) for 0/1 lane masks (bit-identical: ×1.0 and ×0
+    # are exact), so masking happens on the [BLK, C] query blocks and the
+    # output fold, never on [L, C] k/v tiles.
     # VPU economy (round 4, v3): on-chip attribution (tools/ab_packed.py
     # diag) showed the per-head matmuls ALONE at 914 us of the 953 us
     # kernel — softmax was already hidden behind the MXU; 16 small matmuls

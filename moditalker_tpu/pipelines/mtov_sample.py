@@ -39,7 +39,10 @@ def to_uint8(video: jnp.ndarray) -> np.ndarray:
     if v.dtype == np.uint8:
         return v
     v = np.clip(v, -1.0, 1.0)
-    return ((v + 1.0) * 127.5).astype(np.uint8)
+    # rint, not trunc: the reference's frames round-trip through PNG with
+    # np.rint quantization (sample.py:397); truncation would bias the AR
+    # conditioning chain by ~-0.5 LSB (ADVICE r4)
+    return np.rint((v + 1.0) * 127.5).astype(np.uint8)
 
 
 class MtovSamplePipeline:
@@ -91,7 +94,10 @@ class MtovSamplePipeline:
             if not out_u8:
                 return video
             v = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
-            return ((v + 1.0) * 127.5).astype(jnp.uint8)
+            # rint matches the reference's PNG round-trip quantization
+            # (sample.py:397 np.rint); this uint8 also feeds back as the AR
+            # reference, so truncation would bias the chain (ADVICE r4)
+            return jnp.rint((v + 1.0) * 127.5).astype(jnp.uint8)
 
         def window_step(ae_rgb, ae_ldmk, unet, ldmk_video, masked_video,
                         ref_video, key, out_u8=False):
@@ -151,6 +157,14 @@ class MtovSamplePipeline:
         self._repeat_last = jax.jit(
             lambda g, t: jnp.repeat(g[:, -1:], t, axis=1),
             static_argnames=("t",))
+        # device-side batch pad (repeat the last row): keeps already-on-
+        # device arrays (the AR reference) on device even when the batch is
+        # not a mesh multiple — the numpy fallback round-tripped the full
+        # window through the host every AR step (ADVICE r4)
+        self._pad_batch = jax.jit(
+            lambda g, p: jnp.concatenate(
+                [g, jnp.repeat(g[-1:], p, axis=0)]),
+            static_argnames=("p",))
 
     # ------------------------------------------------------------ API
     def _stage(self, *videos):
@@ -171,10 +185,12 @@ class MtovSamplePipeline:
         def put(v):
             if v is None:
                 return None
-            if isinstance(v, jax.Array) and not pad:
+            if isinstance(v, jax.Array):
                 # already on device (e.g. the AR loop's device-resident
-                # reference) — resharding is metadata-only when it already
-                # matches; never round-trip through the host
+                # reference) — pad on device too; never round-trip through
+                # the host (resharding is metadata-only when it matches)
+                if pad:
+                    v = self._pad_batch(v, p=pad)
                 return jax.device_put(v, self._batch_sh)
             v = np.asarray(v)
             if pad:
