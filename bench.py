@@ -1,8 +1,25 @@
-"""End-to-end MToV sampling benchmark — prints ONE JSON line (stdout).
+"""Driver benchmark — prints ONE JSON line (stdout).
 
-Measures the full per-window motion-to-video sampling path on the attached
-TPU chip at the reference operating point (256² × 16 frames, DDIM-100,
-base.yaml UNet mc=128, AE channels 384 — BASELINE.md):
+Run with no args it ORCHESTRATES three phases as sequential subprocesses
+(the TPU relay admits one claim at a time, so phases must serialize through
+process exit) and merges their records into one line:
+
+    1. sample  — this file with --phase sample: the MToV sampling headline
+                 (frames/s/chip) — unchanged from prior rounds;
+    2. train   — bench_train.py: on-chip train-step seconds + MFU for the
+                 reference's three training workloads (first-stage GAN G/D,
+                 latent-diffusion, AToM) — VERDICT r4 #2;
+    3. e2e     — bench_e2e.py: the full audio→video pipeline in
+                 seconds-per-second-of-video with a fused-vs-modular align
+                 A/B — VERDICT r4 #3 (driver-reproducible e2e).
+
+The headline metric/value/vs_baseline stay the sampling numbers (comparable
+across rounds); train and e2e land under ``extra``. A phase failure or
+timeout degrades to an error note in ``extra`` — the line always prints.
+
+--phase sample measures the per-window motion-to-video sampling path on the
+attached TPU chip at the reference operating point (256² × 16 frames,
+DDIM-100, base.yaml UNet mc=128, AE channels 384 — BASELINE.md):
 
     3 × AE.extract (landmark video, masked video, reference frame)
     → 100 × triplane-UNet denoise (lax.scan)
@@ -448,7 +465,66 @@ def main():
     }))
 
 
-if __name__ == "__main__":
+def _run_phase(cmd, timeout_s):
+    """Run one phase subprocess; return (parsed_json_or_None, note).
+
+    Phase stderr streams through (the driver's log shows progress); the
+    LAST stdout line that parses as JSON is the phase record."""
+    import subprocess
+
+    log(f"== phase: {' '.join(cmd[1:])}")
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=timeout_s,
+                              text=True)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s"
+    parsed = None
+    for line in (proc.stdout or "").strip().splitlines():
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+    if parsed is None:
+        return None, (f"rc={proc.returncode}, no JSON line; stdout tail: "
+                      + (proc.stdout or "")[-300:])
+    return parsed, None
+
+
+def orchestrate():
+    here = os.path.dirname(os.path.abspath(__file__))
+    pyexe = sys.executable
+    timeout = int(os.environ.get("BENCH_PHASE_TIMEOUT", "2700"))
+
+    sample, err_s = _run_phase(
+        [pyexe, os.path.join(here, "bench.py"), "--phase", "sample"], timeout)
+    extra = dict(sample["extra"]) if sample else {"sample_error": err_s}
+
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        train, err_t = _run_phase(
+            [pyexe, os.path.join(here, "bench_train.py")], timeout)
+        extra["train"] = train["extra"] if train else {"error": err_t}
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        e2e, err_e = _run_phase(
+            [pyexe, os.path.join(here, "bench_e2e.py")], timeout)
+        if e2e:
+            extra["e2e"] = {"seconds_per_second_of_video": e2e["value"],
+                            "vs_baseline": e2e["vs_baseline"],
+                            **e2e["extra"]}
+        else:
+            extra["e2e"] = {"error": err_e}
+
+    if sample is None:
+        # headline phase failed: still print a line the driver can record
+        print(json.dumps({
+            "metric": "mtov_e2e_frames_per_sec_per_chip", "value": None,
+            "unit": "frames/s", "vs_baseline": None, "extra": extra}))
+        raise SystemExit(1)
+    print(json.dumps({**{k: sample[k] for k in
+                         ("metric", "value", "unit", "vs_baseline")},
+                      "extra": extra}))
+
+
+def _sample_phase():
     try:
         main()
     except Exception as e:  # pragma: no cover
@@ -465,4 +541,14 @@ if __name__ == "__main__":
 
         env = dict(os.environ, BENCH_BATCH="4")
         raise SystemExit(subprocess.call(
-            [sys.executable, os.path.abspath(__file__)], env=env))
+            [sys.executable, os.path.abspath(__file__), "--phase", "sample"],
+            env=env))
+
+
+if __name__ == "__main__":
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        assert phase == "sample", phase
+        _sample_phase()
+    else:
+        orchestrate()

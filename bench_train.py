@@ -1,0 +1,305 @@
+"""On-chip TRAINING benchmark — prints ONE JSON line (stdout).
+
+Times the reference's three training workloads at their published operating
+points (BASELINE.md), on the attached TPU chip, with MFU from XLA cost
+analysis (VERDICT r4 #2 — training throughput was never driver-visible and
+the first-stage GAN step had never been timed on chip):
+
+  1. MToV first stage (the heaviest reference workload,
+     MToV/tools/trainer.py:134-230, scripts/train/first_stg.sh:3):
+     batch 1 × 16 × 256², AE-384 fwd+bwd + LPIPS-VGG16 + 2D & 3D PatchGAN,
+     gradient accumulation 3 (optax.MultiSteps), G and D phases timed
+     separately — the reference alternates them in accum-3 blocks.
+  2. MToV latent diffusion (trainer.py:23-131, second_stg.sh): batch 10,
+     UNet mc=128 over the [B,4,2048] triplane latent, AdamW + fused EMA.
+     Timed both latents-only (the step itself) and as the production
+     program with the 4 frozen-AE extractions fused in front
+     (LatentDiffusionLoop semantics; ref extracts under no_grad each step).
+  3. AToM (AToM/AToM.py:109-175, scripts/train.sh): batch 64, horizon 156,
+     MotionDecoder fwd+bwd + Adan + per-step EMA.
+
+Compute dtype bf16 with fp32 params/GroupNorm/softmax — the framework's
+mixed-precision training mode (the reference trains first stage under AMP,
+trainer.py:152-160; the LDM loop is fp32 there, but bf16-compute is this
+framework's shipped mode and needs no GradScaler on TPU).
+
+Timing: steps are chained through the donated train state (data-dependent,
+cannot overlap or elide); a host fetch of one metric closes each timed
+block (block_until_ready is unreliable over the relay). Per-dispatch tunnel
+overhead (~8-40 ms) is included — it is what a real training loop pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
+
+PEAK_BF16 = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def peak_flops() -> float:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return PEAK_BF16.get(gen, PEAK_BF16["v5e"])
+
+
+def cost_flops(fn, *args) -> float | None:
+    import jax
+
+    from moditalker_tpu.ops import attention as attn_mod
+
+    try:
+        attn_mod.reset_flash_flop_ledger()
+        compiled = jax.jit(fn).lower(*args).compile()
+        flash = attn_mod.flash_flop_ledger()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"]) + flash
+    except Exception as e:  # pragma: no cover - backend-dependent
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+def _timed_steps(step_once, fetch_metric, iters=ITERS):
+    """Steps chain through the carried train state; fetch closes timing."""
+    fetch_metric(step_once())          # warmup step beyond compile
+    best = float("inf")
+    for _ in range(2):                 # min of 2 reps: sheds relay one-offs
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(iters):
+            m = step_once()
+        fetch_metric(m)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def bench_first_stage(results):
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.config import MtovLossConfig, MtovTrainConfig
+    from moditalker_tpu.train.mtov_first_stage import FirstStageTrainer
+
+    # disc_start=0 = the GAN fine-tune phase (base_gan.yaml disc_start -1):
+    # both G and D phases execute. batch 1, accum 3 = first_stg.sh.
+    tc = MtovTrainConfig(batch_size=1, accum_iter=3)
+    lc = MtovLossConfig(disc_start=0)
+    t0 = time.perf_counter()
+    trainer = FirstStageTrainer(loss_cfg=lc, train_cfg=tc,
+                                dtype=jnp.bfloat16)
+    log(f"first-stage init {time.perf_counter()-t0:.1f}s")
+    rng = np.random.default_rng(0)
+    res, t = trainer.ae_cfg.resolution, trainer.ae_cfg.timesteps
+    video = jnp.asarray(rng.uniform(-1, 1, size=(1, t, res, res, 3)),
+                        jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def fetch(metrics):
+        return float(list(metrics.values())[0])
+
+    # G phase: drive _g_step directly (state threads through; donated)
+    def g_once():
+        trainer.state, m = trainer._g_step(trainer.state, video, key)
+        return m
+
+    t_g = _timed_steps(g_once, fetch)
+    log(f"first-stage G step {t_g*1e3:.0f} ms")
+
+    def d_once():
+        trainer.state, m = trainer._d_step(trainer.state, video, key)
+        return m
+
+    t_d = _timed_steps(d_once, fetch)
+    log(f"first-stage D step {t_d*1e3:.0f} ms")
+
+    fl_g = cost_flops(trainer._make_g_step(), trainer.state, video, key)
+    fl_d = cost_flops(trainer._make_d_step(), trainer.state, video, key)
+    peak = peak_flops()
+    results["first_stage"] = {
+        "batch": 1, "accum_iter": 3, "resolution": res, "frames": t,
+        "g_step_seconds": round(t_g, 4), "d_step_seconds": round(t_d, 4),
+        "g_step_tflops": round(fl_g / 1e12, 2) if fl_g else None,
+        "d_step_tflops": round(fl_d / 1e12, 2) if fl_d else None,
+        "g_mfu": round(fl_g / t_g / peak, 4) if fl_g else None,
+        "d_mfu": round(fl_d / t_d / peak, 4) if fl_d else None,
+        # reference alternation: accum G steps then accum D steps
+        "iters_per_sec": round(1.0 / ((t_g + t_d) / 2), 2),
+    }
+    del trainer
+
+
+def bench_ldm(results):
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.config import (MtovAEConfig, MtovDiffusionConfig,
+                                       MtovTrainConfig, MtovUNetConfig)
+    from moditalker_tpu.models.mtov import ViTAutoencoder
+    from moditalker_tpu.train.mtov import (MtovDiffusionTrainer,
+                                           extract_latents, make_train_step)
+
+    B = 10  # scripts/train/second_stg.sh:5
+    tc = MtovTrainConfig()
+    t0 = time.perf_counter()
+    trainer = MtovDiffusionTrainer(MtovUNetConfig(), MtovDiffusionConfig(),
+                                   tc, dtype=jnp.bfloat16)
+    log(f"ldm init {time.perf_counter()-t0:.1f}s")
+    rng = np.random.default_rng(0)
+    L = trainer.latent_len
+    batch = {
+        "z": jnp.asarray(np.tanh(rng.normal(size=(B, 4, L))), jnp.float32),
+        "cond": jnp.asarray(rng.normal(size=(B, 8, L)), jnp.float32),
+        "image_cond": jnp.asarray(rng.normal(size=(B, 4, L)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def fetch(metrics):
+        return float(metrics["loss"])
+
+    def once():
+        trainer.state, m = trainer.train_step(trainer.state, batch, key)
+        return m
+
+    t_step = _timed_steps(once, fetch)
+    log(f"ldm step (latents-only) {t_step*1e3:.0f} ms @ B={B}")
+
+    raw = make_train_step(trainer.ddpm, trainer.tx,
+                          ema_every=tc.ema_interval, jit=False)
+    fl_step = cost_flops(raw, trainer.state, batch, key)
+    peak = peak_flops()
+    results["ldm"] = {
+        "batch": B, "latent_len": L,
+        "step_seconds": round(t_step, 4),
+        "step_tflops": round(fl_step / 1e12, 2) if fl_step else None,
+        "mfu": round(fl_step / t_step / peak, 4) if fl_step else None,
+        "steps_per_sec": round(1.0 / t_step, 2),
+    }
+
+    # production program: 4 frozen-AE extracts fused in front of the step
+    # (ref trainer.py:88-96 extracts x, x_l, masked_x, x_ref under no_grad
+    # every iteration). Smaller extract batch via env for OOM headroom.
+    ae_cfg = MtovAEConfig()
+    ae = ViTAutoencoder(ae_cfg, dtype=jnp.bfloat16)
+    v0 = jnp.zeros((1, ae_cfg.timesteps, ae_cfg.resolution,
+                    ae_cfg.resolution, 3))
+    ae_params = jax.jit(ae.init)(jax.random.PRNGKey(1), v0)
+    cast = lambda tr: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, tr)
+    ae_params = cast(ae_params)
+
+    def fused(state, pr, vb, k):
+        lat = jax.lax.stop_gradient(extract_latents(ae, pr, pr, vb))
+        return raw(state, lat, k)
+
+    fused_j = jax.jit(fused, donate_argnums=(0,))
+    res, tt = ae_cfg.resolution, ae_cfg.timesteps
+    vb = {k2: jnp.asarray(rng.uniform(-1, 1, size=(B, tt, res, res, 3)),
+                          jnp.float32)
+          for k2 in ("x", "x_l", "masked_x", "x_ref")}
+
+    def once_fused():
+        trainer.state, m = fused_j(trainer.state, ae_params, vb, key)
+        return m
+
+    try:
+        t_fused = _timed_steps(once_fused, fetch)
+        log(f"ldm step (with 4x AE extract) {t_fused*1e3:.0f} ms @ B={B}")
+        fl_ex = cost_flops(
+            lambda p, v: extract_latents(ae, p, p, v), ae_params, vb)
+        results["ldm"]["step_with_extract_seconds"] = round(t_fused, 4)
+        if fl_ex and fl_step:
+            results["ldm"]["step_with_extract_mfu"] = round(
+                (fl_ex + fl_step) / t_fused / peak, 4)
+    except Exception as e:  # pragma: no cover — HBM-dependent
+        log(f"fused extract+step skipped: {type(e).__name__}: {e}")
+        results["ldm"]["step_with_extract_seconds"] = None
+    del trainer
+
+
+def bench_atom(results):
+    import jax
+    import jax.numpy as jnp
+
+    from moditalker_tpu.config import AtomTrainConfig
+    from moditalker_tpu.data.atom_dataset import (synthetic_batch,
+                                                  training_arrays)
+    from moditalker_tpu.train.atom import AtomTrainer, make_train_step
+
+    tc = AtomTrainConfig()  # batch 64 (scripts/train.sh)
+    t0 = time.perf_counter()
+    trainer = AtomTrainer(train_cfg=tc, dtype=jnp.bfloat16)
+    log(f"atom init {time.perf_counter()-t0:.1f}s")
+    horizon = trainer.model_cfg.horizon
+    batch = synthetic_batch(tc.batch_size, horizon, seed=0)
+    residual, face, cond = training_arrays(batch, horizon)
+    dev = {"residual": jnp.asarray(residual, jnp.float32),
+           "face": jnp.asarray(face, jnp.float32),
+           "cond": jnp.asarray(cond, jnp.float32)}
+    key = jax.random.PRNGKey(0)
+
+    def fetch(metrics):
+        return float(list(metrics.values())[0])
+
+    def once():
+        trainer.state, m = trainer.train_step(trainer.state, dev, key)
+        return m
+
+    t_step = _timed_steps(once, fetch)
+    log(f"atom step {t_step*1e3:.0f} ms @ B={tc.batch_size}")
+    raw = make_train_step(trainer.diff, trainer.tx, tc.ema_decay, jit=False)
+    fl = cost_flops(raw, trainer.state, dev, key)
+    peak = peak_flops()
+    results["atom"] = {
+        "batch": tc.batch_size, "horizon": horizon,
+        "step_seconds": round(t_step, 4),
+        "step_tflops": round(fl / 1e12, 2) if fl else None,
+        "mfu": round(fl / t_step / peak, 4) if fl else None,
+        "seqs_per_sec": round(tc.batch_size / t_step, 1),
+    }
+    del trainer
+
+
+def main():
+    from moditalker_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    results: dict = {}
+    for name, fn in (("first_stage", bench_first_stage),
+                     ("ldm", bench_ldm), ("atom", bench_atom)):
+        try:
+            fn(results)
+        except Exception as e:  # pragma: no cover
+            log(f"{name} bench failed: {type(e).__name__}: {e}")
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    ok = [k for k, v in results.items() if "error" not in v]
+    # headline: the heaviest workload's step time (first-stage G) if it ran
+    fs = results.get("first_stage", {})
+    print(json.dumps({
+        "metric": "train_first_stage_g_step_seconds",
+        "value": fs.get("g_step_seconds"),
+        "unit": "s/step",
+        "vs_baseline": None,
+        "extra": {**results,
+                  "note": "bf16 compute, fp32 params/GN/softmax (the "
+                          "framework's mixed-precision mode; ref uses AMP "
+                          "for first stage, fp32 for LDM); op points from "
+                          "BASELINE.md; dispatch overhead included",
+                  "workloads_ok": ok},
+    }))
+
+
+if __name__ == "__main__":
+    main()

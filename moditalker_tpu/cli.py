@@ -40,6 +40,25 @@ def _add_common(p):
     p.add_argument("--config", type=str, default=None,
                    help="YAML config (native or reference MToV format, "
                         "ref main.py:65-78)")
+    # multi-HOST launch (the reference's mp.spawn + NCCL file:// rendezvous,
+    # MToV/exps/diffusion.py:56-71): run one copy of this CLI per host with
+    # the same --coordinator and a unique --process-id; the device mesh then
+    # spans all hosts and the jitted train step reduces gradients across
+    # them. Exercised offline by tests/test_multihost.py (2-process CPU
+    # cluster). No flags → auto-detect (TPU pod metadata) → single-process.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def _init_distributed(args):
+    """Multi-host rendezvous — MUST run before any jax backend touch."""
+    from .core.sharding import init_distributed
+
+    init_distributed(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
 
 
 def _cfg(args):
@@ -52,6 +71,7 @@ def _cfg(args):
 
 
 def cmd_train_atom(args):
+    _init_distributed(args)
     from .data.atom_dataset import AtomSequenceDataset, synthetic_batch
     from .train.atom import AtomTrainer
 
@@ -89,6 +109,7 @@ def cmd_train_atom(args):
 
 
 def cmd_train_first_stage(args):
+    _init_distributed(args)
     import itertools
 
     import jax
@@ -160,6 +181,7 @@ def cmd_train_diffusion(args):
     (ref scripts/train/second_stg.sh → exps/diffusion.py:56-177 →
     trainer.py:23-131). ``--latents-only`` keeps the synthetic-latent smoke
     mode (no AEs in the program)."""
+    _init_distributed(args)
     import itertools
 
     import jax

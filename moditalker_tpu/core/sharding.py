@@ -47,18 +47,46 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def init_distributed():
-    """Multi-host initialisation (no-op on single host).
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host initialisation.
 
-    The TPU-native analogue of the reference's NCCL rendezvous; with JAX this
-    is a single call and all collectives are compiled into the program.
+    The TPU-native analogue of the reference's NCCL rendezvous
+    (``init_process_group`` with a ``file://`` store,
+    MToV/exps/diffusion.py:60-67); with JAX this is a single call and all
+    collectives are compiled into the program.
+
+    Two modes:
+    - no args: auto-detect (TPU pod metadata / cluster env). Soft — a
+      single-process run where auto-detection fails is normal, so errors
+      are swallowed and the process continues single-controller.
+    - explicit ``coordinator_address``/``num_processes``/``process_id``
+      (the CLI ``--coordinator/--num-processes/--process-id`` flags, or a
+      2-process CPU cluster in tests): misconfiguration must NOT silently
+      degrade to a single-process run training on 1/N of the data, so
+      errors propagate.
     """
+    # NOTE: do not call jax.process_count()/jax.devices() here — touching
+    # the backend before jax.distributed.initialize() locks it to
+    # single-process mode and the explicit path would always fail.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised
+    explicit = coordinator_address is not None
     try:
-        if jax.process_count() > 1:
-            return  # already initialised
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     except (RuntimeError, ValueError):
-        pass  # single-process run
+        if explicit:
+            raise
+        # single-process run (auto-detection found no cluster)
 
 
 def background_iter(iterator, depth: int = 2):
