@@ -68,6 +68,41 @@ def cache_dir(base: str | None = None) -> str:
     return os.path.join(base, fp)
 
 
+def prune(d: str, max_bytes: int | None = None) -> int:
+    """Size-cap the cache dir: evict oldest-mtime entries until it fits
+    (VERDICT r4 #6 — entries accrete with every jax/code change and there
+    was no pruning policy). Returns the number of files removed. Cap via
+    MODITALKER_CACHE_MAX_MB (default 4096; 0 disables pruning)."""
+    if max_bytes is None:
+        mb = int(os.environ.get("MODITALKER_CACHE_MAX_MB", "4096"))
+        if mb <= 0:
+            return 0
+        max_bytes = mb * 1024 * 1024
+    try:
+        entries = []
+        total = 0
+        for e in os.scandir(d):
+            if e.is_file():
+                st = e.stat()
+                entries.append((st.st_mtime, st.st_size, e.path))
+                total += st.st_size
+        if total <= max_bytes:
+            return 0
+        removed = 0
+        for mtime, size, path in sorted(entries):
+            try:
+                os.unlink(path)
+            except OSError:
+                continue
+            total -= size
+            removed += 1
+            if total <= max_bytes:
+                break
+        return removed
+    except OSError:  # pragma: no cover
+        return 0
+
+
 def enable_compile_cache(base: str | None = None) -> str | None:
     """Point jax at the persistent fingerprint-keyed cache. Returns the
     directory actually used, or None if the cache could not be set up (the
@@ -77,6 +112,12 @@ def enable_compile_cache(base: str | None = None) -> str | None:
     d = cache_dir(base)
     try:
         os.makedirs(d, exist_ok=True)
+        n = prune(d)
+        if n:
+            import sys
+
+            print(f"[compile-cache] pruned {n} oldest entries "
+                  f"(size cap, see compile_cache.prune)", file=sys.stderr)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

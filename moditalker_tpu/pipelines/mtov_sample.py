@@ -229,8 +229,8 @@ class MtovSamplePipeline:
         return out
 
     def sample_independent(self, windows, key, batch: int = 8,
-                           noised_start_ratio: float | None = None
-                           ) -> np.ndarray:
+                           noised_start_ratio: float | None = None,
+                           noised_start_source: str = "ref") -> np.ndarray:
         """Batch INDEPENDENT windows along the leading axis — ``batch``
         windows per device dispatch, one compiled shape (the tail chunk is
         padded by repetition and trimmed). Valid when each window's
@@ -264,11 +264,15 @@ class MtovSamplePipeline:
             stacked = {k: np.concatenate([np.asarray(w[k]) for w in chunk])
                        for k in chunk[0]}
             key, sub = jax.random.split(key)
+            noise_src = None
+            if noised_start_ratio is not None:
+                # see sample_long: "ref" = the shipped --x_noisy_start mode
+                noise_src = stacked["x_ref" if noised_start_source == "ref"
+                                    else "x"]
             gen = self.sample_window(
                 stacked["x_l"], stacked["masked_x"],
                 jnp.asarray(stacked["x_ref"]), sub,
-                gt_video=(stacked.get("x")
-                          if noised_start_ratio is not None else None),
+                gt_video=noise_src,
                 noised_start_ratio=noised_start_ratio, out_uint8=True)
             if pending is not None:
                 flush()
@@ -279,13 +283,28 @@ class MtovSamplePipeline:
         return np.concatenate(outs, axis=1)
 
     def sample_long(self, windows, key, use_last_as_reference: bool = True,
-                    noised_start_ratio: float | None = None) -> np.ndarray:
+                    noised_start_ratio: float | None = None,
+                    noised_start_source: str = "ref") -> np.ndarray:
         """Autoregressive multi-window generation (ref sample.py:305-398).
 
         ``windows``: iterable of dicts with 'x_l', 'masked_x', 'x_ref' (and
-        'x' when using noised starts), each [B, 16, H, W, 3]. Returns the
+        'x' when using gt noised starts), each [B, 16, H, W, 3]. Returns the
         concatenated uint8 video [B, n*16, H, W, 3].
+
+        ``noised_start_source`` picks which latent the fast mode partially
+        renoises (the reference's two mutually-exclusive flags,
+        sample.py:375-380):
+        - "ref": ``--x_noisy_start`` — the DATASET reference window's
+          latent. This is the shipped fast mode (scripts/inference/
+          sample.sh:13). Note the renoise source stays the dataset
+          ``x_ref`` even when ``use_last_as_reference`` swaps the
+          CONDITIONING reference to the last generated frame: the reference
+          extracts ``image_cond_`` before the last-frame override and only
+          ``image_cond`` is replaced (sample.py:329-363).
+        - "gt": ``--refvid_noisy_start`` — the ground-truth window's latent
+          (self-reconstruction style).
         """
+        assert noised_start_source in ("ref", "gt")
         out_frames = []
         last_gen = None       # previous window's output — stays ON DEVICE
         pending = None        # device window not yet fetched to host
@@ -294,6 +313,10 @@ class MtovSamplePipeline:
         while w is not None:
             key, sub = jax.random.split(key)
             ref = w["x_ref"]
+            noise_src = None
+            if noised_start_ratio is not None:
+                noise_src = (w["x_ref"] if noised_start_source == "ref"
+                             else w["x"])
             if use_last_as_reference and last_gen is not None:
                 # repeat the previous window's final generated frame ×T on
                 # device: the AR chain never round-trips the host (round 3
@@ -305,10 +328,10 @@ class MtovSamplePipeline:
                 w["x_l"], w["masked_x"],
                 ref if isinstance(ref, jax.Array) else jnp.asarray(ref),
                 sub,
-                # only the noised-start program consumes gt; the plain
-                # window would still pay its upload as an unused jit arg
-                gt_video=(w.get("x") if noised_start_ratio is not None
-                          else None),
+                # only the noised-start program consumes the renoise
+                # source; the plain window would still pay its upload as an
+                # unused jit arg
+                gt_video=noise_src,
                 noised_start_ratio=noised_start_ratio, out_uint8=True)
             last_gen = gen
             # jax dispatch is async: host-prepare the NEXT window (JPEG

@@ -53,14 +53,12 @@ def _worker_env() -> dict:
     return env
 
 
-@pytest.fixture(scope="module")
-def worker_records(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("multihost")
+def _launch_workers(tmp, attempt: int):
     port = _free_port()
     env = _worker_env()
     procs, outs = [], []
     for pid in range(2):
-        out = tmp / f"rank{pid}.json"
+        out = tmp / f"rank{pid}.attempt{attempt}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(_DIR, "multihost_worker.py"),
@@ -78,8 +76,24 @@ def worker_records(tmp_path_factory):
                 q.kill()
             raise
         logs.append(stdout)
-    assert all(p.returncode == 0 for p in procs), (
-        "worker failed:\n" + "\n====\n".join(logs))
+    ok = all(p.returncode == 0 for p in procs)
+    return ok, logs, outs
+
+
+@pytest.fixture(scope="module")
+def worker_records(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multihost")
+    # One retry: the 2-process rendezvous + compile can exceed the worker
+    # budget when the host is oversubscribed (observed with the full suite
+    # + three background chip jobs sharing one vCPU); a genuine code
+    # failure fails both attempts deterministically.
+    try:
+        ok, logs, outs = _launch_workers(tmp, 0)
+    except subprocess.TimeoutExpired:
+        ok, logs = False, ["attempt 0: worker timeout"]
+    if not ok:
+        ok, logs, outs = _launch_workers(tmp, 1)
+    assert ok, "worker failed:\n" + "\n====\n".join(logs)
     return [json.loads(o.read_text()) for o in outs]
 
 
