@@ -258,7 +258,10 @@ def bench_atom(results):
 
     t_step = _timed_steps(once, fetch)
     log(f"atom step {t_step*1e3:.0f} ms @ B={tc.batch_size}")
-    raw = make_train_step(trainer.diff, trainer.tx, tc.ema_decay, jit=False)
+    # donate=False: this instance exists only for cost_analysis lowering —
+    # donation would alias the live trainer.state buffers
+    raw = make_train_step(trainer.diff, trainer.tx, tc.ema_decay,
+                          donate=False)
     fl = cost_flops(raw, trainer.state, dev, key)
     peak = peak_flops()
     results["atom"] = {
