@@ -226,6 +226,31 @@ def main():
         f"(phases: " + " ".join(f"{k}={v:.2f}s"
                                 for k, v in align_phases.items())
         + f" other(host math)={other:.2f}s)")
+    # snapshot: the A/B below re-enters the shared timed landmark_fn and
+    # would otherwise fold modular-arm time into the headline phase split
+    align_phases_headline = dict(align_phases)
+
+    # fused-vs-modular align A/B, SAME session (VERDICT r4 #3: the fused
+    # gain must be driver-reproducible, not quoted from a favorable relay
+    # day). The modular arm re-times the reference-shaped three-program
+    # path (batched S3FD dispatch + host crops + batched FAN + host POS +
+    # batched recon) on the SAME 156-frame sequence; its time is recorded
+    # in extra only — the headline total uses the production (fused) arm.
+    align_ab: dict[str, float] = {}
+    if not os.environ.get("BENCH_E2E_SKIP_AB") \
+            and not os.environ.get("BENCH_E2E_MODULAR_ALIGN"):
+        align_ab["fused_s"] = stages["align"]
+        mod_aligner = MotionAligner(landmark_fn, recon.coeff_fn(), lm3d_std)
+        _ = mod_aligner.align_sequence(lm3d[0][:2], driving[:2])  # warmup
+        t0 = time.perf_counter()
+        aligned_mod = mod_aligner.align_sequence(lm3d[0], driving)
+        align_ab["modular_s"] = time.perf_counter() - t0
+        align_ab["fused_speedup"] = round(
+            align_ab["modular_s"] / max(align_ab["fused_s"], 1e-9), 2)
+        # sanity: both arms must produce the same-shaped aligned output
+        assert aligned_mod.shape == aligned.shape
+        log(f"align A/B: fused {align_ab['fused_s']:.2f}s vs modular "
+            f"{align_ab['modular_s']:.2f}s ({align_ab['fused_speedup']}x)")
 
     # ---------------- stage 4: MToV AR windows -----------------------------
     aligned_i = np.clip(np.nan_to_num(aligned), 0, 255).astype(int)
@@ -311,7 +336,11 @@ def main():
                 REF_H100_E2E_S_PER_S_FAST / s_per_s_fast, 3),
             "stages_seconds": {k: round(v, 3) for k, v in stages.items()},
             "align_phases_seconds": {k: round(v, 3)
-                                     for k, v in align_phases.items()},
+                                     for k, v in align_phases_headline
+                                     .items()},
+            "align_fused_vs_modular": ({k: round(v, 3)
+                                        for k, v in align_ab.items()}
+                                       or None),
             "wall_with_compile": round(time.perf_counter() - t_wall, 1),
             "compile_cache_warm": compile_cache_warm,
             "baseline_note": "vs documented per-stage estimate of the "
