@@ -264,14 +264,17 @@ class MtovSamplePipeline:
             stacked = {k: np.concatenate([np.asarray(w[k]) for w in chunk])
                        for k in chunk[0]}
             key, sub = jax.random.split(key)
+            # stage the reference stack once: in "ref" mode it is ALSO the
+            # renoise source — passing the host array twice uploaded the
+            # same bytes twice per chunk
+            ref_dev = jnp.asarray(stacked["x_ref"])
             noise_src = None
             if noised_start_ratio is not None:
                 # see sample_long: "ref" = the shipped --x_noisy_start mode
-                noise_src = stacked["x_ref" if noised_start_source == "ref"
-                                    else "x"]
+                noise_src = (ref_dev if noised_start_source == "ref"
+                             else stacked["x"])
             gen = self.sample_window(
-                stacked["x_l"], stacked["masked_x"],
-                jnp.asarray(stacked["x_ref"]), sub,
+                stacked["x_l"], stacked["masked_x"], ref_dev, sub,
                 gt_video=noise_src,
                 noised_start_ratio=noised_start_ratio, out_uint8=True)
             if pending is not None:
@@ -308,6 +311,17 @@ class MtovSamplePipeline:
         out_frames = []
         last_gen = None       # previous window's output — stays ON DEVICE
         pending = None        # device window not yet fetched to host
+        # In "ref" mode the renoise source is the DATASET reference window —
+        # constant across every window of one identity — yet each window
+        # handed a fresh host buffer to the dispatch, re-uploading ~3 MB of
+        # identical bytes per window. Measured on chip (full-size pipeline,
+        # 9 AR windows): device-staging it once ran 5.44 s vs 6.9–13.6 s
+        # re-uploading, i.e. the per-window upload was 0.2–0.9 s of pure
+        # host-link traffic depending on relay weather. The cache is
+        # content-keyed (np.array_equal exits on the first differing byte),
+        # so per-window "gt" sources miss cheaply and upload as before.
+        noise_host = None     # last host noise source (content key)
+        noise_dev = None      # its staged device array
         it = iter(windows)
         w = next(it, None)
         while w is not None:
@@ -317,6 +331,23 @@ class MtovSamplePipeline:
             if noised_start_ratio is not None:
                 noise_src = (w["x_ref"] if noised_start_source == "ref"
                              else w["x"])
+                if not isinstance(noise_src, jax.Array):
+                    src = np.asarray(noise_src)
+                    if (noise_host is not None
+                            and src.shape == noise_host.shape
+                            and src.dtype == noise_host.dtype
+                            and np.array_equal(src, noise_host)):
+                        noise_src = noise_dev
+                    else:
+                        noise_host, noise_dev = src, jnp.asarray(src)
+                        noise_src = noise_dev
+                    # "ref" mode: whenever the conditioning reference is
+                    # still the dataset reference (first window, or no AR
+                    # override at all), it is the SAME array — reuse the
+                    # staged upload for it too instead of uploading twice
+                    if noised_start_source == "ref" and (
+                            last_gen is None or not use_last_as_reference):
+                        ref = noise_src
             if use_last_as_reference and last_gen is not None:
                 # repeat the previous window's final generated frame ×T on
                 # device: the AR chain never round-trips the host (round 3

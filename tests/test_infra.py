@@ -138,3 +138,36 @@ def test_ar_sampling_pipeline_tiny():
     of = pipe.sample_long([wf_exact], jax.random.PRNGKey(4))
     ou = pipe.sample_long([wu], jax.random.PRNGKey(4))
     np.testing.assert_array_equal(of, ou)
+
+    # Noise-source staging cache (round 5): in "ref" fast mode the renoise
+    # source is the dataset reference — constant across an identity's
+    # windows — and sample_long now stages it on device ONCE (content-keyed)
+    # instead of re-uploading ~3 MB of identical bytes per window (measured
+    # on chip: 9 AR windows 13.6 → 5.4 s). Semantics must be unchanged:
+    # fresh-but-equal host buffers per window ≡ one device-staged array.
+    ref0 = rng.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(np.float32)
+
+    def fast_windows(ref_of):
+        for _ in range(3):
+            w = window()
+            w["x_ref"] = ref_of()   # fresh buffer (or device array) each time
+            yield w
+
+    rng_state = rng.bit_generator.state
+    o_fresh = pipe.sample_long(fast_windows(lambda: ref0.copy()),
+                               jax.random.PRNGKey(5), noised_start_ratio=0.5)
+    rng.bit_generator.state = rng_state  # same x_l/masked_x sequence
+    ref_dev = jnp.asarray(ref0)
+    o_dev = pipe.sample_long(fast_windows(lambda: ref_dev),
+                             jax.random.PRNGKey(5), noised_start_ratio=0.5)
+    np.testing.assert_array_equal(o_fresh, o_dev)
+
+    # "gt" source with per-window distinct sources (cache-miss path) and
+    # both reference fast modes still differ (they renoise different
+    # latents)
+    rng.bit_generator.state = rng_state
+    o_gt = pipe.sample_long(fast_windows(lambda: ref0.copy()),
+                            jax.random.PRNGKey(5), noised_start_ratio=0.5,
+                            noised_start_source="gt")
+    assert o_gt.shape == o_fresh.shape
+    assert not np.array_equal(o_gt, o_fresh)
