@@ -311,54 +311,55 @@ class MtovSamplePipeline:
         out_frames = []
         last_gen = None       # previous window's output — stays ON DEVICE
         pending = None        # device window not yet fetched to host
-        # In "ref" mode the renoise source is the DATASET reference window —
-        # constant across every window of one identity — yet each window
-        # handed a fresh host buffer to the dispatch, re-uploading ~3 MB of
-        # identical bytes per window. Measured on chip (full-size pipeline,
-        # 9 AR windows): device-staging it once ran 5.44 s vs 6.9–13.6 s
-        # re-uploading, i.e. the per-window upload was 0.2–0.9 s of pure
-        # host-link traffic depending on relay weather. The cache is
-        # content-keyed (np.array_equal exits on the first differing byte),
-        # so per-window "gt" sources miss cheaply and upload as before.
-        noise_host = None     # last host noise source (content key)
-        noise_dev = None      # its staged device array
+
+        # Content-keyed device staging for per-window host inputs that are
+        # CONSTANT across an identity's windows: the dataset reference
+        # window (the conditioning ref in no-AR mode / window 1, and the
+        # renoise source in "ref" fast mode). Each window used to hand a
+        # fresh host buffer to the dispatch, re-uploading ~3 MB of
+        # identical bytes per window — measured on chip (full-size
+        # pipeline, 9 AR windows): device-staging once ran 5.44 s vs
+        # 6.9–13.6 s re-uploading (0.2–0.9 s/window of pure host-link
+        # traffic, relay-weather dependent). np.array_equal exits on the
+        # first differing byte, so genuinely varying sources ("gt" mode)
+        # miss cheaply and upload as before. One slot per role: in "ref"
+        # mode the conditioning ref and the renoise source share the
+        # "x_ref" slot, so window 1 uploads those shared bytes ONCE.
+        _staged: dict[str, tuple[np.ndarray, jax.Array]] = {}
+
+        def _put_cached(slot, v):
+            if isinstance(v, jax.Array):
+                return v
+            src = np.asarray(v)
+            ent = _staged.get(slot)
+            if (ent is not None and src.shape == ent[0].shape
+                    and src.dtype == ent[0].dtype
+                    and np.array_equal(src, ent[0])):
+                return ent[1]
+            dev = jnp.asarray(src)
+            _staged[slot] = (src, dev)
+            return dev
+
         it = iter(windows)
         w = next(it, None)
         while w is not None:
             key, sub = jax.random.split(key)
-            ref = w["x_ref"]
             noise_src = None
             if noised_start_ratio is not None:
-                noise_src = (w["x_ref"] if noised_start_source == "ref"
-                             else w["x"])
-                if not isinstance(noise_src, jax.Array):
-                    src = np.asarray(noise_src)
-                    if (noise_host is not None
-                            and src.shape == noise_host.shape
-                            and src.dtype == noise_host.dtype
-                            and np.array_equal(src, noise_host)):
-                        noise_src = noise_dev
-                    else:
-                        noise_host, noise_dev = src, jnp.asarray(src)
-                        noise_src = noise_dev
-                    # "ref" mode: whenever the conditioning reference is
-                    # still the dataset reference (first window, or no AR
-                    # override at all), it is the SAME array — reuse the
-                    # staged upload for it too instead of uploading twice
-                    if noised_start_source == "ref" and (
-                            last_gen is None or not use_last_as_reference):
-                        ref = noise_src
+                noise_src = _put_cached(
+                    "x_ref" if noised_start_source == "ref" else "x",
+                    w["x_ref"] if noised_start_source == "ref" else w["x"])
             if use_last_as_reference and last_gen is not None:
                 # repeat the previous window's final generated frame ×T on
                 # device: the AR chain never round-trips the host (round 3
                 # fetched the 12.6 MB float window and re-uploaded a
                 # repeated reference — 25 MB of host-link traffic per
                 # window for a dependency the device already held)
-                ref = self._repeat_last(last_gen, int(ref.shape[1]))
+                ref = self._repeat_last(last_gen, int(w["x_ref"].shape[1]))
+            else:
+                ref = _put_cached("x_ref", w["x_ref"])
             gen = self.sample_window(
-                w["x_l"], w["masked_x"],
-                ref if isinstance(ref, jax.Array) else jnp.asarray(ref),
-                sub,
+                w["x_l"], w["masked_x"], ref, sub,
                 # only the noised-start program consumes the renoise
                 # source; the plain window would still pay its upload as an
                 # unused jit arg
